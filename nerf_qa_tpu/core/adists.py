@@ -1,0 +1,207 @@
+"""ADISTS — adaptive DISTS with per-pixel structure/texture weighting.
+
+Reference behavior: nerf_qa/ADISTS/ADISTS.py:34-197. Same VGG16+L2pool
+pyramid as DISTS, then:
+
+1. ``compute_prob`` (:71-100): per stage (coarse -> fine), windowed
+   variance/mean ratio γ; ps = sigmoid((γ - mean γ)/(std γ)); min/max
+   renormalized; multiplied with the bilinear-upsampled coarser product
+   and renormalized again. Stages too small for the window use global
+   stats and plain sigmoid(γ) (the reference reaches that path via
+   try/except; here it's a static shape predicate).
+2. Entropy channel weights (:127-135): spatially L2-normalized ReLU
+   features -> per-channel Shannon entropy -> normalized, then clamped to
+   mean ± 0.5·std and renormalized (:152-160).
+3. Per-stage windowed T (texture) and S (structure) similarity maps of
+   the spatially L2-normalized features (:168-183); weighted blend
+   D = Σ (pt·T + ps·S)·w (:182-191).
+
+Outputs: scalar loss 1 - mean(D) (as_loss), per-image 1 - D, or a
+full-resolution distortion map 1 - Σ upsampled D_maps (as_map).
+
+TPU notes: everything is static-shape; the coarse->fine recursion is a
+Python loop over 6 static stages (unrolled by jit); windowed moments use
+separable depthwise convs (ops/windowed.py).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from nerf_qa_tpu.config import ADISTSConfig
+from nerf_qa_tpu.core.vgg import vgg16_pyramid
+from nerf_qa_tpu.ops.resize import resize_bilinear
+from nerf_qa_tpu.ops.windowed import fits_window, window_mean
+
+_C0 = 1e-12
+
+
+def _resize_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with align_corners=True (compute_prob uses it,
+    ADISTS.py:87)."""
+    n, h, w, c = x.shape
+    x = x.astype(jnp.float32)
+
+    def coords(in_size, out_size):
+        if out_size == 1 or in_size == 1:
+            return jnp.zeros((out_size,), jnp.float32)
+        return jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+
+    def interp(x, axis, out_size):
+        src = coords(x.shape[axis], out_size)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, x.shape[axis] - 1)
+        t = (src - lo).astype(jnp.float32)
+        xl = jnp.take(x, lo, axis=axis)
+        xh = jnp.take(x, hi, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        t = t.reshape(shape)
+        return xl * (1 - t) + xh * t
+
+    return interp(interp(x, 1, out_h), 2, out_w)
+
+
+def _minmax_norm(x: jax.Array) -> jax.Array:
+    """Per-image spatial min/max renormalization (ADISTS.py:84-90)."""
+    mn = x.min(axis=(1, 2), keepdims=True)
+    mx = x.max(axis=(1, 2), keepdims=True)
+    return (x - mn) / (mx - mn + _C0)
+
+
+def compute_prob(feats: Sequence[jax.Array], window_size: int = 21) -> list[jax.Array]:
+    """Per-stage structure probability maps ps (ADISTS.py:71-100),
+    cascaded coarse -> fine. Returns one (N, Hk, Wk, 1) map per stage."""
+    ps_list: list[jax.Array] = []
+    ps_prod = jnp.ones(feats[0].shape[:3] + (1,), jnp.float32)
+    for k in range(len(feats) - 1, -1, -1):
+        f = feats[k].astype(jnp.float32)
+        n, h, w, c = f.shape
+        if fits_window(h, w, window_size):
+            x_mean = window_mean(f, window_size)
+            x_var = window_mean(f * f, window_size) - jnp.square(x_mean)
+            gamma = (x_var / (x_mean + _C0)).mean(axis=-1, keepdims=True)
+            g_mean = gamma.mean(axis=(1, 2), keepdims=True)
+            # torch .std() default is unbiased (ddof=1) — ADISTS.py:83
+            g_std = gamma.std(axis=(1, 2), keepdims=True, ddof=1)
+            ps = jax.nn.sigmoid((gamma - g_mean) / (g_std + _C0))
+            ps = _minmax_norm(ps)
+            hk, wk = ps.shape[1], ps.shape[2]
+            ps_prod = ps * _resize_align_corners(ps_prod, hk, wk)
+            ps_prod = _minmax_norm(ps_prod)
+        else:
+            x_mean = f.mean(axis=(1, 2), keepdims=True)
+            x_var = jnp.square(f - x_mean).mean(axis=(1, 2), keepdims=True)
+            gamma = (x_var / (x_mean + _C0)).mean(axis=-1, keepdims=True)
+            ps = jax.nn.sigmoid(gamma)
+            ps_prod = ps * _resize_align_corners(ps_prod, 1, 1)
+        ps_list.append(ps_prod)
+    return ps_list[::-1]
+
+
+def _spatial_l2_normalize(f: jax.Array) -> jax.Array:
+    """F.normalize(..., dim=(2,3)) over NCHW == per-(image,channel) L2
+    over the spatial plane (ADISTS.py:166-167)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=(1, 2), keepdims=True))
+    return f / jnp.maximum(norm, 1e-12)
+
+
+def entropy_weights(f: jax.Array) -> jax.Array:
+    """Per-channel entropy weights (ADISTS.py:127-135): spatially
+    L2-normalized ReLU features -> distribution over pixels -> Shannon
+    entropy (bits) -> per-image channel-normalized, scaled by C."""
+    f = _spatial_l2_normalize(jax.nn.relu(f.astype(jnp.float32)))
+    n, h, w, c = f.shape
+    flat = f.reshape(n, h * w, c)
+    flat = flat / (flat.sum(axis=1, keepdims=True) + _C0)
+    ent = jnp.sum(-flat * jnp.log2(flat + _C0), axis=1)  # (N, C)
+    ent = ent / (ent.sum(axis=1, keepdims=True) + _C0)
+    return ent * c
+
+
+def forward(
+    vgg_params,
+    x: jax.Array,
+    y: jax.Array,
+    cfg: ADISTSConfig = ADISTSConfig(),
+    as_loss: bool = True,
+    as_map: bool = False,
+):
+    """ADISTS forward on NHWC batches in [0,1] (ADISTS.py:137-197)."""
+    if x.shape != y.shape:
+        raise ValueError(
+            f"ADISTS requires identically shaped inputs, got {x.shape} vs {y.shape}"
+        )
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    n = x.shape[0]
+    both = vgg16_pyramid(
+        vgg_params, jnp.concatenate([x, y], axis=0), compute_dtype=compute_dtype
+    )
+    feats_x = [f[:n] for f in both]
+    feats_y = [f[n:] for f in both]
+
+    ps_x = compute_prob(feats_x, cfg.window_size)
+
+    # entropy channel weights, clamped to mean +- 0.5 std (ADISTS.py:152-160)
+    weight = jnp.concatenate([entropy_weights(f) for f in feats_x], axis=1)
+    weight = weight / weight.sum(axis=1, keepdims=True)
+    w_mean = weight.mean(axis=1, keepdims=True)
+    w_std = jnp.sqrt(jnp.square(weight - w_mean).mean(axis=1, keepdims=True))
+    weight = jnp.clip(weight, w_mean - 0.5 * w_std, w_mean + 0.5 * w_std)
+    weight = weight / weight.sum(axis=1, keepdims=True)
+
+    chns = [f.shape[-1] for f in feats_x]
+    offsets = [0]
+    for c in chns:
+        offsets.append(offsets[-1] + c)
+
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    d_total = jnp.zeros((B,), jnp.float32)
+    d_map_full = jnp.zeros((B, H, W), jnp.float32)
+
+    for k in range(len(chns) - 1, -1, -1):
+        fx = _spatial_l2_normalize(feats_x[k].astype(jnp.float32))
+        fy = _spatial_l2_normalize(feats_y[k].astype(jnp.float32))
+        h, w = fx.shape[1], fx.shape[2]
+        if fits_window(h, w, cfg.window_size):
+            x_mean = window_mean(fx, cfg.window_size)
+            y_mean = window_mean(fy, cfg.window_size)
+            x_var = window_mean(fx * fx, cfg.window_size) - jnp.square(x_mean)
+            y_var = window_mean(fy * fy, cfg.window_size) - jnp.square(y_mean)
+            xy_cov = window_mean(fx * fy, cfg.window_size) - x_mean * y_mean
+        else:
+            x_mean = fx.mean(axis=(1, 2), keepdims=True)
+            y_mean = fy.mean(axis=(1, 2), keepdims=True)
+            x_var = jnp.square(fx - x_mean).mean(axis=(1, 2), keepdims=True)
+            y_var = jnp.square(fy - y_mean).mean(axis=(1, 2), keepdims=True)
+            xy_cov = (fx * fy).mean(axis=(1, 2), keepdims=True) - x_mean * y_mean
+
+        t_map = (2 * x_mean * y_mean + 1e-6) / (
+            jnp.square(x_mean) + jnp.square(y_mean) + 1e-6
+        )
+        s_map = (2 * xy_cov + 1e-6) / (x_var + y_var + 1e-6)
+
+        ps = ps_x[k]  # (N, hk, wk, 1), broadcasts over channels
+        pt = 1.0 - ps
+        wk_slice = weight[:, offsets[k]:offsets[k + 1]][:, None, None, :]
+        d_map = ((pt * t_map + ps * s_map) * wk_slice).sum(axis=-1)  # (N,h,w)
+        if as_map:
+            d_map_full = d_map_full + resize_bilinear(
+                d_map[..., None], H, W
+            )[..., 0]
+        d_total = d_total + d_map.mean(axis=(1, 2))
+
+    if as_map:
+        return 1.0 - d_map_full
+    if as_loss:
+        return 1.0 - d_total.mean()
+    return 1.0 - d_total
+
+
+def forward_once(vgg_params, x: jax.Array,
+                 cfg: ADISTSConfig = ADISTSConfig()) -> list[jax.Array]:
+    """Feature pyramid (ADISTS.py:112-125); identical to the DISTS one."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return vgg16_pyramid(vgg_params, x, compute_dtype=compute_dtype)

@@ -157,7 +157,14 @@ def pyramid_stats(feats0: Sequence[jax.Array], feats1: Sequence[jax.Array],
     Returns a (5, N, 1475) array [mean_x, mean_y, var_x, var_y, cov].
     """
     if cfg.stats_impl == "pallas":
-        from nerf_qa_tpu.ops.pallas.moments import stage_stats_pallas as stats_fn
+        from nerf_qa_tpu.ops.pallas.moments import stage_stats_pallas
+
+        def stats_fn(fx, fy):
+            # Tiny-channel stages (the raw image, C=3) pad to 128 lanes in
+            # VMEM — XLA is strictly better there; Pallas wins at C>=64.
+            if fx.shape[-1] < 64:
+                return stage_stats_xla(fx, fy)
+            return stage_stats_pallas(fx, fy)
     else:
         stats_fn = stage_stats_xla
     per_stage = [stats_fn(fx, fy) for fx, fy in zip(feats0, feats1)]
@@ -212,8 +219,14 @@ def forward(
             f"DISTS requires identically shaped inputs, got {x.shape} vs {y.shape}"
         )
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    feats0 = vgg16_pyramid(vgg_params, x, compute_dtype=compute_dtype)
-    feats1 = vgg16_pyramid(vgg_params, y, compute_dtype=compute_dtype)
+    # Run both images through the pyramid as ONE batch: halves the number
+    # of conv ops and doubles the effective MXU batch vs two passes.
+    n = x.shape[0]
+    both = vgg16_pyramid(
+        vgg_params, jnp.concatenate([x, y], axis=0), compute_dtype=compute_dtype
+    )
+    feats0 = [f[:n] for f in both]
+    feats1 = [f[n:] for f in both]
     if stop_feature_grad:
         feats0 = [jax.lax.stop_gradient(f) for f in feats0]
         feats1 = [jax.lax.stop_gradient(f) for f in feats1]

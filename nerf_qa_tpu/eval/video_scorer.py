@@ -1,0 +1,137 @@
+"""Batched frame/video DISTS scoring — the framework's serving path.
+
+Reference behavior: the per-video test loops of run_test2.py:278-297 and
+train-nr.py:305-315 (score every frame pair, mean-pool to a video score),
+plus the missing-but-called ``model.forward_dataloader`` (SURVEY §2 #7).
+
+TPU design
+----------
+* One jitted, shape-bucketed step: uint8 NHWC frames -> f32/255 ->
+  bilinear resize -> VGG pyramid (bf16 MXU convs by default) -> fused
+  statistics -> per-frame scores. Input buffers are donated.
+* Optional data-parallel scoring over a mesh: frames are padded to a
+  multiple of (batch × n_devices) and sharded on the leading axis; XLA
+  inserts no collectives in the hot loop (scores gather at the end).
+* Tail frames are masked, never dropped: a video's score is the mean of
+  exactly its real frames.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_qa_tpu.config import DISTSConfig
+from nerf_qa_tpu.core import dists
+from nerf_qa_tpu.ops.resize import resize_bilinear, resize_bilinear_aa
+from nerf_qa_tpu.parallel import mesh as meshlib
+
+
+def _prep(frames: jax.Array, out_hw: tuple[int, int] | None, antialias: bool):
+    x = frames.astype(jnp.float32)
+    if frames.dtype == jnp.uint8:
+        x = x / 255.0
+    if out_hw is not None and (frames.shape[1], frames.shape[2]) != out_hw:
+        resize = resize_bilinear_aa if antialias else resize_bilinear
+        x = resize(x, out_hw[0], out_hw[1])
+    return x
+
+
+class FrameScorer:
+    """Jitted, shape-bucketed DISTS frame scorer.
+
+    Args:
+      vgg_params: pyramid params (compat converter or random init).
+      weights: DISTSWeights (pretrained α/β by default).
+      cfg: DISTSConfig — compute_dtype='bfloat16' + stats_impl='pallas'
+        is the fast serving config; fp32+xla is the parity oracle.
+      resize_to: target (H, W) before scoring, or None to score at input
+        resolution (full-size mode; shape-bucketed compiles).
+      antialias: use the antialiased resizer (prepare_image-like) instead
+        of torch-interpolate semantics.
+      mesh: optional jax.sharding.Mesh for multi-chip data parallelism.
+    """
+
+    def __init__(
+        self,
+        vgg_params,
+        weights: dists.DISTSWeights,
+        cfg: DISTSConfig = DISTSConfig(compute_dtype="bfloat16"),
+        resize_to: tuple[int, int] | None = (256, 256),
+        antialias: bool = False,
+        mesh=None,
+    ):
+        self.vgg_params = vgg_params
+        self.weights = weights
+        self.cfg = cfg
+        self.resize_to = resize_to
+        self.antialias = antialias
+        self.mesh = mesh
+        if mesh is not None:
+            self.vgg_params = meshlib.replicate(mesh, vgg_params)
+            self.weights = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, meshlib.replicated(mesh)), weights
+            )
+        self._step = self._build_step()
+
+    def _build_step(self):
+        def step(vgg_params, weights, dist_frames, ref_frames):
+            x = _prep(dist_frames, self.resize_to, self.antialias)
+            y = _prep(ref_frames, self.resize_to, self.antialias)
+            return dists.forward(vgg_params, weights, x, y, self.cfg)
+
+        donate = (2, 3)
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            rsh = meshlib.replicated(self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(rsh, rsh, dsh, dsh),
+                out_shardings=dsh,
+                donate_argnums=donate,
+            )
+        return jax.jit(step, donate_argnums=donate)
+
+    def score_batch(self, dist_frames, ref_frames) -> jax.Array:
+        """Per-frame scores for one fixed-shape batch (device arrays ok)."""
+        return self._step(self.vgg_params, self.weights,
+                          jnp.asarray(dist_frames), jnp.asarray(ref_frames))
+
+    def score_frames(
+        self, dist_frames: np.ndarray, ref_frames: np.ndarray,
+        batch_size: int = 32,
+    ) -> np.ndarray:
+        """Score N frame pairs, padding the tail batch (masked out)."""
+        n = dist_frames.shape[0]
+        if ref_frames.shape[0] != n:
+            raise ValueError("frame count mismatch")
+        step = batch_size
+        if self.mesh is not None:
+            per = self.mesh.shape[meshlib.DATA_AXIS]
+            step = meshlib.pad_to_multiple(batch_size, per)
+        out = np.empty((n,), np.float32)
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            db, rb = dist_frames[lo:hi], ref_frames[lo:hi]
+            if hi - lo < step:  # pad tail to keep the compiled shape
+                pad = step - (hi - lo)
+                db = np.concatenate([db, np.repeat(db[-1:], pad, 0)])
+                rb = np.concatenate([rb, np.repeat(rb[-1:], pad, 0)])
+            scores = np.asarray(self.score_batch(db, rb))
+            out[lo:hi] = scores[: hi - lo]
+        return out
+
+    def score_video(self, dist_frames, ref_frames, batch_size: int = 32) -> float:
+        """Video-level score = mean of per-frame scores
+        (train-nr.py:314-315 semantics)."""
+        return float(self.score_frames(dist_frames, ref_frames, batch_size).mean())
+
+    def score_videos(
+        self,
+        pairs: Iterable[tuple[np.ndarray, np.ndarray]],
+        batch_size: int = 32,
+    ) -> list[float]:
+        return [self.score_video(d, r, batch_size) for d, r in pairs]

@@ -1,0 +1,142 @@
+"""Full-reference MOS-regression models.
+
+Reference behavior: nerf_qa/model.py:22-56 (simple linear/sqrt heads) and
+nerf_qa/model_stats.py:23-102 (logistic/sqrt/linear heads, entropy
+regularization, MOS/DMOS target selection). The superset interface also
+provides the per-param-group learning rates and dataloader-level video
+scoring that five reference drivers call but whose implementations were
+never checked in (SURVEY §2 #7 version-skew note).
+
+Design: the model is a pure function of an explicit param pytree
+  {'head': {...}, 'dists': DISTSWeights}
+so optax transforms (including per-group LRs and the project-weights
+projection) apply cleanly.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_qa_tpu.config import FRModelConfig
+from nerf_qa_tpu.core import dists
+from nerf_qa_tpu.core.vgg import vgg16_pyramid
+
+
+def _logistic_np(x, b1, b2, b3, b4, sign):
+    return (b1 - b2) / (1 + np.exp(sign * (x - b3) / np.abs(b4))) + b2
+
+
+def init_head_params(
+    train_dists_scores: np.ndarray,
+    train_targets: np.ndarray,
+    cfg: FRModelConfig = FRModelConfig(),
+) -> dict[str, jax.Array]:
+    """Data-driven head init, matching the reference:
+
+    * logistic: scipy curve_fit of the 4-parameter logistic
+      (model_stats.py:33-48), initial guesses from target extrema /
+      predictor median+std.
+    * sqrt/linear: least-squares line fit (model.py:26-47 uses sklearn
+      LinearRegression; plain lstsq is numerically identical).
+    """
+    x = np.asarray(train_dists_scores, np.float64)
+    y = np.asarray(train_targets, np.float64)
+    if cfg.regression_type == "logistic":
+        from scipy.optimize import curve_fit
+
+        sign = 1.0 if cfg.subjective_score_type == "MOS" else -1.0
+        is_mos = cfg.subjective_score_type == "MOS"
+        p0 = [
+            np.max(y) if is_mos else np.min(y),
+            np.min(y) if is_mos else np.max(y),
+            np.median(x),
+            np.std(x),
+        ]
+        params, _ = curve_fit(
+            lambda x, b1, b2, b3, b4: _logistic_np(x, b1, b2, b3, b4, sign),
+            x, y, p0=p0, maxfev=20000,
+        )
+        return {f"b{i + 1}": jnp.asarray([v], jnp.float32)
+                for i, v in enumerate(params)}
+    if cfg.regression_type == "sqrt":
+        x = np.sqrt(x)
+    a = np.stack([x, np.ones_like(x)], axis=1)
+    coef, *_ = np.linalg.lstsq(a, y, rcond=None)
+    return {
+        "weight": jnp.asarray([coef[0]], jnp.float32),
+        "bias": jnp.asarray([coef[1]], jnp.float32),
+    }
+
+
+def init_params(
+    train_dists_scores: np.ndarray,
+    train_targets: np.ndarray,
+    cfg: FRModelConfig = FRModelConfig(),
+) -> dict[str, Any]:
+    """Full trainable pytree: regression head + DISTS α/β."""
+    return {
+        "head": init_head_params(train_dists_scores, train_targets, cfg),
+        "dists": dists.load_pretrained_weights(cfg.dists),
+    }
+
+
+def apply_head(head: dict[str, jax.Array], dists_scores: jax.Array,
+               cfg: FRModelConfig) -> jax.Array:
+    """Regression head (model_stats.py:71-79)."""
+    if cfg.regression_type == "logistic":
+        sign = 1.0 if cfg.subjective_score_type == "MOS" else -1.0
+        b1, b2, b3, b4 = head["b1"], head["b2"], head["b3"], head["b4"]
+        return (b1 - b2) / (
+            1 + jnp.exp(sign * (dists_scores - b3) / jnp.abs(b4))
+        ) + b2
+    if cfg.regression_type == "sqrt":
+        return jnp.sqrt(dists_scores) * head["weight"] + head["bias"]
+    return dists_scores * head["weight"] + head["bias"]
+
+
+def forward(
+    params: dict[str, Any],
+    vgg_params,
+    dist_imgs: jax.Array,
+    ref_imgs: jax.Array,
+    cfg: FRModelConfig = FRModelConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """(mos_pred, dists_score) for NHWC image batches
+    (model_stats.py:92-102)."""
+    dists_scores = dists.forward(
+        vgg_params, params["dists"], dist_imgs, ref_imgs, cfg.dists
+    )
+    return apply_head(params["head"], dists_scores, cfg), dists_scores
+
+
+def entropy_loss(
+    params: dict[str, Any],
+    original: dists.DISTSWeights,
+    cfg: FRModelConfig = FRModelConfig(),
+) -> jax.Array:
+    """Cross-entropy of learned α/β against the pretrained distribution
+    (model_stats.py:81-90)."""
+    w = params["dists"]
+    weights = jnp.concatenate([w.alpha, w.beta])
+    norm = cfg.dists.weight_norm
+    if cfg.dists.variant == "softmax":
+        weights = jax.nn.softmax(weights)
+    else:
+        if "relu" in (norm.split("+") if norm else []):
+            weights = jax.nn.relu(weights)
+        weights = weights / weights.sum()
+    orig = jnp.concatenate([original.alpha, original.beta])
+    return -jnp.sum(orig * jnp.log(weights + 1e-10))
+
+
+def param_labels(params: dict[str, Any]) -> dict[str, Any]:
+    """Optimizer param-group labels — the ``get_param_lr`` superset
+    (run_test2_cross.py:151 calls it; never checked in). 'head' params
+    typically train with a larger LR than the DISTS α/β."""
+    return {
+        "head": jax.tree_util.tree_map(lambda _: "head", params["head"]),
+        "dists": jax.tree_util.tree_map(lambda _: "dists", params["dists"]),
+    }

@@ -1,0 +1,224 @@
+"""Full-reference trainer: L1 MOS regression over DISTS scores.
+
+Reference behavior: run_final.py (the canonical FR trainer) — per-fold
+GroupKFold-by-scene CV, Adam with epoch-0 warmup + exponential decay,
+L1 loss + optional entropy regularization toward the pretrained α/β
+distribution, optional per-step weight projection, per-video test loop
+feeding the metric logger.
+
+TPU design: one jitted train step (grads over head + α/β only; the VGG
+pyramid is frozen and feature extraction is stop-gradiented), optionally
+pjit-sharded over a data mesh (gradients all-reduce over ICI implicitly
+through the sharded-batch jit). Weight projection is a pure function
+applied to params after the optimizer update (an optax-composable
+projection, not an in-place mutation).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerf_qa_tpu.config import FRModelConfig, TrainConfig
+from nerf_qa_tpu.core import dists
+from nerf_qa_tpu.models import fr
+from nerf_qa_tpu.parallel import mesh as meshlib
+from nerf_qa_tpu.train.schedules import make_schedule
+
+
+def make_optimizer(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    head_lr_scale: float = 1.0,
+) -> optax.GradientTransformation:
+    """Adam with schedule; per-group LRs via optax.multi_transform
+    (the ``get_param_lr`` superset, SURVEY §2 #7)."""
+    schedule = make_schedule(cfg, steps_per_epoch)
+
+    def adam(scale: float):
+        return optax.chain(
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
+            optax.scale_by_learning_rate(
+                lambda step: schedule(step) * scale
+            ),
+        )
+
+    if head_lr_scale == 1.0:
+        return adam(1.0)
+    return optax.multi_transform(
+        {"head": adam(head_lr_scale), "dists": adam(1.0)},
+        param_labels=fr.param_labels,
+    )
+
+
+class FRTrainer:
+    """Jitted FR training/eval loops over host-provided numpy batches."""
+
+    def __init__(
+        self,
+        vgg_params,
+        model_cfg: FRModelConfig = FRModelConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        steps_per_epoch: int = 100,
+        head_lr_scale: float = 1.0,
+        mesh=None,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        self.vgg_params = vgg_params
+        self.original_weights = dists.load_pretrained_weights(model_cfg.dists)
+        self.optimizer = make_optimizer(train_cfg, steps_per_epoch, head_lr_scale)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # -- step builders ---------------------------------------------------
+    def loss_fn(self, params, dist_imgs, ref_imgs, targets):
+        pred, dists_score = fr.forward(
+            params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg
+        )
+        l1 = jnp.abs(pred - targets).mean()
+        loss = l1
+        if self.train_cfg.entropy_loss_coeff:
+            loss = loss + self.train_cfg.entropy_loss_coeff * fr.entropy_loss(
+                params, self.original_weights, self.model_cfg
+            )
+        return loss, (pred, dists_score, l1)
+
+    def _build_train_step(self):
+        def step(params, opt_state, dist_imgs, ref_imgs, targets):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, dist_imgs, ref_imgs, targets
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if self.train_cfg.project_weights:
+                params = dict(
+                    params,
+                    dists=dists.project_weights(
+                        params["dists"], self.model_cfg.dists
+                    ),
+                )
+            return params, opt_state, loss, aux
+
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            rsh = meshlib.replicated(self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(rsh, rsh, dsh, dsh, dsh),
+                out_shardings=(rsh, rsh, rsh, (dsh, dsh, rsh)),
+            )
+        return jax.jit(step)
+
+    def _build_eval_step(self):
+        def step(params, dist_imgs, ref_imgs):
+            return fr.forward(
+                params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg
+            )
+
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            rsh = meshlib.replicated(self.mesh)
+            return jax.jit(step, in_shardings=(rsh, dsh, dsh),
+                           out_shardings=(dsh, dsh))
+        return jax.jit(step)
+
+    # -- public API -------------------------------------------------------
+    def init(self, train_dists_scores, train_targets):
+        params = fr.init_params(train_dists_scores, train_targets, self.model_cfg)
+        opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            params = meshlib.replicate(self.mesh, params)
+            opt_state = meshlib.replicate(self.mesh, opt_state)
+        return params, opt_state
+
+    def train_step(self, params, opt_state, dist_imgs, ref_imgs, targets):
+        return self._train_step(
+            params, opt_state,
+            jnp.asarray(dist_imgs), jnp.asarray(ref_imgs),
+            jnp.asarray(targets, jnp.float32),
+        )
+
+    def train_epoch(
+        self,
+        params,
+        opt_state,
+        batches: Iterable,
+        logger=None,
+    ):
+        """One epoch over (dist, ref, target, video_id, scene_id) batches
+        (run_final.py:168-229 shape)."""
+        losses = []
+        for batch in batches:
+            dist_imgs, ref_imgs, targets = batch[:3]
+            params, opt_state, loss, aux = self.train_step(
+                params, opt_state, dist_imgs, ref_imgs, targets
+            )
+            losses.append(float(loss))
+            if logger is not None and len(batch) >= 5:
+                pred, dists_score, l1 = aux
+                logger.add_entries(
+                    {
+                        "loss": np.full(len(targets), float(loss)),
+                        "mse": np.square(
+                            np.asarray(pred) - np.asarray(targets)
+                        ),
+                        "pred_score": np.asarray(pred),
+                        "mos": np.asarray(targets),
+                    },
+                    video_ids=batch[3],
+                    scene_ids=batch[4],
+                )
+        return params, opt_state, float(np.mean(losses)) if losses else 0.0
+
+    def evaluate(self, params, dist_imgs, ref_imgs):
+        return self._eval_step(
+            params, jnp.asarray(dist_imgs), jnp.asarray(ref_imgs)
+        )
+
+    def score_dataloader(self, params, batches: Iterable) -> dict:
+        """Video-level scoring over an eval loader — the missing
+        ``forward_dataloader`` capability (SURVEY §2 #7): per-frame
+        forward, concat, then per-video means."""
+        preds: dict[Any, list] = {}
+        dists_scores: dict[Any, list] = {}
+        for batch in batches:
+            dist_imgs, ref_imgs = batch[0], batch[1]
+            video_ids = batch[3] if len(batch) > 3 else np.zeros(len(dist_imgs))
+            pred, ds = self.evaluate(params, dist_imgs, ref_imgs)
+            for vid, p, d in zip(
+                np.atleast_1d(np.asarray(video_ids)),
+                np.asarray(pred),
+                np.asarray(ds),
+            ):
+                preds.setdefault(vid.item(), []).append(float(p))
+                dists_scores.setdefault(vid.item(), []).append(float(d))
+        return {
+            "pred_score": {v: float(np.mean(x)) for v, x in preds.items()},
+            "dists_score": {v: float(np.mean(x)) for v, x in dists_scores.items()},
+        }
+
+
+def group_kfold_splits(groups: np.ndarray, n_splits: int = 4, seed: int = 0):
+    """Scene-grouped K-fold indices (run_final.py:231-239). Deterministic
+    host-side numpy; equivalent to sklearn GroupKFold (greedy size
+    balancing by group frequency)."""
+    groups = np.asarray(groups)
+    uniq, counts = np.unique(groups, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    fold_sizes = np.zeros(n_splits, np.int64)
+    fold_of_group = {}
+    for gi in order:
+        f = int(np.argmin(fold_sizes))
+        fold_of_group[uniq[gi]] = f
+        fold_sizes[f] += counts[gi]
+    folds = np.array([fold_of_group[g] for g in groups])
+    for f in range(n_splits):
+        test_idx = np.where(folds == f)[0]
+        train_idx = np.where(folds != f)[0]
+        yield train_idx, test_idx

@@ -6,7 +6,11 @@ covered by bench.py / the driver's compile checks.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the ambient environment may pin JAX_PLATFORMS to a real
+# accelerator (e.g. 'axon'); unit tests always run on the virtual CPU mesh.
+# Set NERF_QA_TPU_TESTS=1 to run the suite on real hardware instead.
+if not os.environ.get("NERF_QA_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if not os.environ.get("NERF_QA_TPU_TESTS"):
+    # The axon plugin ignores the env var; the config update is effective.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
