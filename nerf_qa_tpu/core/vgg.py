@@ -110,11 +110,16 @@ def vgg16_pyramid(
     float32 NHWC. Set ``compute_dtype=jnp.bfloat16`` to run convs on the
     MXU in bf16 with fp32 accumulation.
     """
+    pool_precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     feats = [x.astype(jnp.float32)]
     h = normalize_imagenet(x.astype(jnp.float32))
     for si in range(5):
         if si > 0:
-            h = l2pool(h)
+            h = l2pool(h, precision=pool_precision)
         for layer in params[f"stage{si + 1}"]:
             h = _conv_relu(h, layer["kernel"], layer["bias"], compute_dtype)
         feats.append(h.astype(jnp.float32))

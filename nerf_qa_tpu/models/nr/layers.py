@@ -1,0 +1,187 @@
+"""NR decoder building blocks (flax.linen).
+
+Reference behavior: model_nr_v8.py:17-51 (ConvLayer / ConvTransposeLayer:
+Dropout2d -> conv -> ChannelNorm -> GELU) and the earlier-generation
+BatchNorm+ReLU blocks of model_nr.py:90-94 (v1-v6). ChannelNorm is
+FeatUp's per-pixel channel LayerNorm (featup.layers.ChannelNorm).
+
+TPU notes: NHWC; conv kernels HWIO; Dropout2d drops whole channels
+(feature maps) per sample, matching torch's Dropout2d semantics.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ChannelNorm(nn.Module):
+    """LayerNorm over the channel axis at every spatial position
+    (FeatUp's ChannelNorm; used by model_nr_v8.py:22,40)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = x.mean(axis=-1, keepdims=True)
+        var = jnp.square(x - mean).mean(axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return y * scale + bias
+
+
+class Dropout2d(nn.Module):
+    """Channel dropout (torch Dropout2d): zero whole channels per sample."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, x.shape[-1]))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class ConvLayer(nn.Module):
+    """Dropout2d -> 3x3 conv -> norm -> activation (model_nr_v8.py:17-33).
+
+    norm_type='channel' (v7/v8: ChannelNorm+GELU) or 'batch'
+    (v1-v6: BatchNorm+ReLU, model_nr.py:91). activation disabled on the
+    blocks' last layer.
+    """
+
+    features: int
+    activation: bool = True
+    dropout_rate: float = 0.0
+    norm_type: str = "channel"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = Dropout2d(self.dropout_rate)(x, deterministic)
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        if self.norm_type == "channel":
+            x = ChannelNorm(self.features)(x)
+            if self.activation:
+                x = nn.gelu(x)
+        else:
+            x = nn.BatchNorm(use_running_average=deterministic)(x)
+            if self.activation:
+                x = nn.relu(x)
+        return x
+
+
+class ConvTransposeLayer(nn.Module):
+    """Dropout2d -> 2x upsampling transposed conv -> norm -> activation
+    (model_nr_v8.py:35-51: ConvTranspose2d(k=3, s=2, p=1, output_p=1))."""
+
+    features: int
+    activation: bool = False
+    dropout_rate: float = 0.0
+    norm_type: str = "channel"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = Dropout2d(self.dropout_rate)(x, deterministic)
+        # torch ConvTranspose2d(3, stride 2, pad 1, out_pad 1) == exact 2x;
+        # flax ConvTranspose with SAME padding and stride 2 matches the
+        # output geometry (H*2, W*2).
+        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
+                             padding="SAME")(x)
+        if self.norm_type == "channel":
+            x = ChannelNorm(self.features)(x)
+            if self.activation:
+                x = nn.gelu(x)
+        else:
+            x = nn.BatchNorm(use_running_average=deterministic)(x)
+            if self.activation:
+                x = nn.relu(x)
+        return x
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference vendored nerf_qa/layers/mlp.py:17-41)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.out)(x)
+        return x
+
+
+class LayerScale(nn.Module):
+    """Per-channel learned residual scaling
+    (nerf_qa/layers/layer_scale.py:16-28)."""
+
+    dim: int
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma",
+            lambda key, shape: jnp.full(shape, self.init_value, jnp.float32),
+            (self.dim,),
+        )
+        return x * gamma
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (nerf_qa/layers/attention.py). The
+    reference's xformers memory-efficient path is unnecessary at the NR
+    model's 256-token sequences; plain dot-product attention maps straight
+    onto the MXU."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3)(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,H,D)
+        q = jnp.swapaxes(q, 1, 2)  # (B,H,N,D)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * (head_dim**-0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = jnp.swapaxes(out, 1, 2).reshape(b, n, c)
+        return nn.Dense(self.dim)(out)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block with LayerScale
+    (nerf_qa/layers/block.py:36-131; stochastic depth omitted — the NR
+    models instantiate blocks with drop_path=0)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    layer_scale_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm()(x)
+        h = Attention(self.dim, self.num_heads)(h)
+        x = x + LayerScale(self.dim, self.layer_scale_init)(h)
+        h = nn.LayerNorm()(x)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim)(h)
+        x = x + LayerScale(self.dim, self.layer_scale_init)(h)
+        return x

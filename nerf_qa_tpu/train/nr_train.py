@@ -1,0 +1,152 @@
+"""No-reference trainer.
+
+Reference behavior: train-nr.py — Adam over the NR decoder only (encoder
+frozen), per-epoch loss aggregation (MetricAggregator), periodic test
+passes that score whole videos (mean frame score) and correlate against
+MOS/DMOS for synthetic ("syn") / real ("tnt") / all subsets
+(train-nr.py:270-377), scene-holdout validation split (:231-244).
+
+TPU design: one jitted train step (loss + grads over decoder params +
+Adam update); dropout RNG threaded explicitly; optional data-mesh
+sharding of the batch axis.
+"""
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerf_qa_tpu.config import NRModelConfig, TrainConfig
+from nerf_qa_tpu.logging.metrics import MetricAggregator
+from nerf_qa_tpu.models.nr.model import NRModel
+from nerf_qa_tpu.parallel import mesh as meshlib
+from nerf_qa_tpu.train.schedules import make_schedule
+
+
+def scene_holdout_split(
+    scenes: np.ndarray,
+    holdout_scenes: Iterable[str],
+    methods: np.ndarray | None = None,
+    blacklist_methods: Iterable[str] = (),
+):
+    """Train/val split by scene with a method blacklist
+    (train-nr.py:231-244 semantics). Returns boolean masks."""
+    scenes = np.asarray(scenes)
+    holdout = set(holdout_scenes)
+    val = np.array([s in holdout for s in scenes])
+    train = ~val
+    if methods is not None and blacklist_methods:
+        bad = np.array([m in set(blacklist_methods) for m in np.asarray(methods)])
+        train &= ~bad
+    return train, val
+
+
+class NRTrainer:
+    def __init__(
+        self,
+        model: NRModel,
+        train_cfg: TrainConfig = TrainConfig(batch_size=4),
+        steps_per_epoch: int = 100,
+        mesh=None,
+    ):
+        self.model = model
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        schedule = make_schedule(train_cfg, steps_per_epoch)
+        self.optimizer = optax.adam(
+            schedule, b1=train_cfg.beta1, b2=train_cfg.beta2, eps=train_cfg.eps
+        )
+        self._train_step = self._build_train_step()
+        self._score_step = self._build_score_step()
+
+    def _build_train_step(self):
+        model = self.model
+
+        def step(params, opt_state, gt, render_256, render_224, rng):
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(p):
+                losses = model.losses(p, gt, render_256, render_224, rng=sub)
+                return losses["combined"], losses
+
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses, rng
+
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            rsh = meshlib.replicated(self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(rsh, rsh, dsh, dsh, dsh, rsh),
+                out_shardings=(rsh, rsh, rsh, rsh),
+            )
+        return jax.jit(step)
+
+    def _build_score_step(self):
+        model = self.model
+
+        def step(params, render_256, render_224):
+            return model.forward(params, render_256, render_224)
+
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            rsh = meshlib.replicated(self.mesh)
+            return jax.jit(step, in_shardings=(rsh, dsh, dsh), out_shardings=dsh)
+        return jax.jit(step)
+
+    def init(self, seed: int | None = None):
+        params = self.model.init(seed if seed is not None else self.train_cfg.seed)
+        opt_state = self.optimizer.init(params)
+        rng = jax.random.PRNGKey(self.train_cfg.seed)
+        if self.mesh is not None:
+            params = meshlib.replicate(self.mesh, params)
+            opt_state = meshlib.replicate(self.mesh, opt_state)
+        return params, opt_state, rng
+
+    def train_step(self, params, opt_state, gt, render_256, render_224, rng):
+        return self._train_step(
+            params, opt_state,
+            jnp.asarray(gt), jnp.asarray(render_256), jnp.asarray(render_224),
+            rng,
+        )
+
+    def train_epoch(self, params, opt_state, rng, batches: Iterable,
+                    aggregator: MetricAggregator | None = None):
+        """Batches of (gt_256, render_256, render_224[, ...])
+        (train-nr.py:270-296 shape)."""
+        for batch in batches:
+            gt, r256, r224 = batch[:3]
+            params, opt_state, losses, rng = self.train_step(
+                params, opt_state, gt, r256, r224, rng
+            )
+            if aggregator is not None:
+                aggregator.add({k: float(v) for k, v in losses.items()})
+        return params, opt_state, rng
+
+    def score_frames(self, params, render_256, render_224) -> np.ndarray:
+        return np.asarray(
+            self._score_step(
+                params, jnp.asarray(render_256), jnp.asarray(render_224)
+            )
+        )
+
+    def score_video(self, params, render_256, render_224,
+                    batch_size: int = 4) -> float:
+        """Mean frame score over a video (train-nr.py:305-315)."""
+        n = render_256.shape[0]
+        scores = []
+        for lo in range(0, n, batch_size):
+            hi = min(lo + batch_size, n)
+            r256, r224 = render_256[lo:hi], render_224[lo:hi]
+            if hi - lo < batch_size:
+                pad = batch_size - (hi - lo)
+                r256 = np.concatenate([r256, np.repeat(r256[-1:], pad, 0)])
+                r224 = np.concatenate([r224, np.repeat(r224[-1:], pad, 0)])
+            s = self.score_frames(params, r256, r224)
+            scores.append(s[: hi - lo])
+        return float(np.concatenate(scores).mean())
