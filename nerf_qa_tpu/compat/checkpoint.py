@@ -1,0 +1,110 @@
+"""Checkpoint save/restore + resumable training state.
+
+The reference has write-only checkpointing (whole-module torch pickles,
+run_final.py:277,326; loaded only by reeval.py:83) and NO resume path
+(SURVEY §5.4). TPU pods preempt, so this framework adds real
+checkpoint/resume: orbax-backed step-tagged checkpoints of
+(params, opt_state, step, rng) with latest-step restore, plus converters
+for the reference's torch artifacts.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any) -> str:
+    """Save a pytree training state under ckpt_dir/step_<N>."""
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    _checkpointer().save(
+        path, jax.tree_util.tree_map(np.asarray, state), force=True
+    )
+    return path
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(d.split("_")[1])
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and d.split("_")[1].isdigit()
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, step: int | None = None,
+                       target: Any = None) -> tuple[int, Any] | None:
+    """Restore (step, state); latest step when unspecified. None if no
+    checkpoint exists (fresh start)."""
+    step = step if step is not None else latest_step(ckpt_dir)
+    if step is None:
+        return None
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    state = _checkpointer().restore(path, item=target)
+    return step, state
+
+
+class PreemptionSaver:
+    """Save-on-signal hook (SIGTERM — TPU pod preemption notice).
+
+    Usage: saver = PreemptionSaver(ckpt_dir); inside the train loop call
+    ``saver.maybe_save(step, state)`` — it saves when a preemption signal
+    arrived (and every ``interval`` steps if set).
+    """
+
+    def __init__(self, ckpt_dir: str, interval: int | None = None):
+        import signal
+
+        self.ckpt_dir = ckpt_dir
+        self.interval = interval
+        self.signaled = False
+
+        def handler(signum, frame):
+            self.signaled = True
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:  # non-main thread
+            pass
+
+    def maybe_save(self, step: int, state: Any) -> bool:
+        due = self.signaled or (
+            self.interval is not None and step > 0 and step % self.interval == 0
+        )
+        if due:
+            save_checkpoint(self.ckpt_dir, step, state)
+            self.signaled = False
+            return True
+        return False
+
+
+def convert_fr_head_from_torch(path: str) -> dict[str, np.ndarray]:
+    """Import a reference FR ``model.pth`` head (model_stats.py:45-60
+    parameters b1..b4 / dists_weight+dists_bias, plus dists alpha/beta)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    state = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    out: dict[str, np.ndarray] = {}
+    for torch_key, ours in [
+        ("b1", "b1"), ("b2", "b2"), ("b3", "b3"), ("b4", "b4"),
+        ("dists_weight", "weight"), ("dists_bias", "bias"),
+    ]:
+        if torch_key in state:
+            out[f"head.{ours}"] = state[torch_key].detach().numpy()
+    for key in ("dists_model.alpha", "dists_model.beta"):
+        if key in state:
+            out[key.replace("dists_model.", "dists.")] = (
+                state[key].detach().numpy().reshape(-1)
+            )
+    return out

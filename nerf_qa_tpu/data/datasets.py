@@ -224,6 +224,8 @@ class NerfNRQADataset(FrameIndexed):
         aug_crop_scale: float = 0.8,
         aug_rot_deg: float = 30.0,
         rng: np.random.Generator | None = None,
+        render_size: int = 256,
+        sem_size: int = 224,
     ):
         self.dir = dir
         self.df = df
@@ -232,6 +234,10 @@ class NerfNRQADataset(FrameIndexed):
         self.aug_crop_scale = aug_crop_scale
         self.aug_rot_deg = aug_rot_deg
         self.rng = rng or np.random.default_rng(0)
+        # network input resolutions (data.py:490-494 fixes 256/224; kept
+        # configurable for ablations and low-res smoke runs)
+        self.render_size = render_size
+        self.sem_size = sem_size
         super().__init__(df["frame_count"].tolist())
 
     def get_scene_indices(self):
@@ -264,9 +270,10 @@ class NerfNRQADataset(FrameIndexed):
         render = load_image_rgb(path.join(self.dir, render_dir, basename))
         gt = load_image_rgb(path.join(self.dir, row["gt_dir"], basename))
         render, gt = self._transform_pair(render, gt)
-        render_256 = resize_image(render, 256, 256)
-        render_224 = resize_image(render, 224, 224)
-        gt_256 = resize_image(gt, 256, 256)
+        rs, ss = self.render_size, self.sem_size
+        render_256 = resize_image(render, rs, rs)
+        render_224 = resize_image(render, ss, ss)
+        gt_256 = resize_image(gt, rs, rs)
         render_pack = {"256x256": render_256, "224x224": render_224}
         if self.mode == "score-map":
             if os.path.basename(render_dir) == "color":

