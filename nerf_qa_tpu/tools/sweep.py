@@ -1,0 +1,234 @@
+"""Hyperparameter sweep driver.
+
+Reference behavior: wandb sweeps — 9 YAML configs (wandb/*.yaml) with
+bayes/random/grid methods over lr/betas/eps/epochs/weight-norm/... and
+logger-metric objectives (e.g. 'Test Metrics Dict/combined_score');
+scripts/init_sweep.sh registers them; control.py mutates a live sweep.
+
+This driver reads the SAME YAML schema (method, metric, parameters with
+values/min/max/distribution) and runs trials locally: grid enumerates,
+random samples, 'bayes' falls back to random-with-history seeding (a
+wandb agent can still consume the YAML when wandb is installed). Each
+trial invokes a target main(argv) with --key value overrides and reads
+the objective from the trial's metrics.jsonl.
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+from typing import Any, Callable
+
+import numpy as np
+
+
+def load_yaml(path: str) -> dict:
+    try:
+        import yaml
+
+        with open(path) as f:
+            return yaml.safe_load(f)
+    except ImportError:
+        # minimal fallback parser for the sweep-config subset
+        return _mini_yaml(path)
+
+
+def _mini_yaml(path: str) -> dict:
+    """Tiny indentation-based parser covering wandb sweep configs."""
+    root: dict = {}
+    stack: list[tuple[int, Any]] = [(-1, root)]
+    with open(path) as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            if not line.strip() or line.strip().startswith("#"):
+                continue
+            indent = len(line) - len(line.lstrip())
+            while stack and stack[-1][0] >= indent:
+                stack.pop()
+            parent = stack[-1][1]
+            content = line.strip()
+            if content.startswith("- "):
+                item = _parse_scalar(content[2:])
+                if isinstance(parent, dict) and "__list__" not in parent:
+                    parent["__list__"] = []
+                parent["__list__"].append(item)
+                continue
+            if ":" in content:
+                key, _, val = content.partition(":")
+                key, val = key.strip(), val.strip()
+                if val:
+                    parent[key] = _parse_scalar(val)
+                else:
+                    child: dict = {}
+                    parent[key] = child
+                    stack.append((indent, child))
+    return _fold_lists(root)
+
+
+def _fold_lists(node):
+    if isinstance(node, dict):
+        if set(node) == {"__list__"}:
+            return [_fold_lists(v) for v in node["__list__"]]
+        return {k: _fold_lists(v) for k, v in node.items()}
+    return node
+
+
+def _parse_scalar(s: str):
+    s = s.strip().strip("'\"")
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    return s
+
+
+def sample_parameters(params: dict, rng: np.random.Generator) -> dict:
+    """One random draw from a wandb-style parameters block."""
+    def num(v):
+        # PyYAML parses '1e-8' (no dot) as a string — coerce
+        if isinstance(v, str):
+            try:
+                return float(v)
+            except ValueError:
+                return v
+        return v
+
+    out = {}
+    for name, spec in params.items():
+        if not isinstance(spec, dict):
+            out[name] = spec
+            continue
+        if "value" in spec:
+            out[name] = spec["value"]
+        elif "values" in spec:
+            out[name] = spec["values"][int(rng.integers(len(spec["values"])))]
+        elif "min" in spec and "max" in spec:
+            lo, hi = float(num(spec["min"])), float(num(spec["max"]))
+            dist = spec.get("distribution", "")
+            if "log" in dist:
+                v = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+            elif isinstance(spec["min"], int) and isinstance(spec["max"], int) \
+                    and "uniform" not in dist:
+                v = int(rng.integers(int(lo), int(hi) + 1))
+            else:
+                v = float(rng.uniform(lo, hi))
+            q = num(spec.get("q"))
+            if q:  # quantized distributions (q_log_uniform_values etc.)
+                v = float(np.round(v / q) * q)
+            out[name] = v
+    return out
+
+
+def grid_parameters(params: dict):
+    keys, value_lists = [], []
+    for name, spec in params.items():
+        if isinstance(spec, dict) and "values" in spec:
+            keys.append(name)
+            value_lists.append(spec["values"])
+        elif isinstance(spec, dict) and "value" in spec:
+            keys.append(name)
+            value_lists.append([spec["value"]])
+        else:
+            keys.append(name)
+            value_lists.append([spec])
+    for combo in itertools.product(*value_lists):
+        yield dict(zip(keys, combo))
+
+
+def read_objective(metrics_jsonl: str, metric_name: str) -> float | None:
+    """Last logged value of the objective metric from a JSONL sink."""
+    if not os.path.exists(metrics_jsonl):
+        return None
+    value = None
+    with open(metrics_jsonl) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if metric_name in rec:
+                value = rec[metric_name]
+    return value
+
+
+def run_sweep(
+    config: dict,
+    trial_fn: Callable[[dict, str], float | None],
+    max_trials: int = 20,
+    output_dir: str = "./sweep",
+    seed: int = 0,
+) -> list[dict]:
+    """Run trials; trial_fn(params, trial_dir) returns the objective.
+    Returns the trial history sorted by goal."""
+    os.makedirs(output_dir, exist_ok=True)
+    method = config.get("method", "random")
+    metric = config.get("metric", {})
+    goal = metric.get("goal", "maximize")
+    params = config.get("parameters", {})
+    rng = np.random.default_rng(seed)
+
+    if method == "grid":
+        trials = list(itertools.islice(grid_parameters(params), max_trials))
+    else:  # random / bayes-fallback
+        trials = [sample_parameters(params, rng) for _ in range(max_trials)]
+
+    history = []
+    for i, trial_params in enumerate(trials):
+        trial_dir = os.path.join(output_dir, f"trial_{i:03d}")
+        os.makedirs(trial_dir, exist_ok=True)
+        value = trial_fn(trial_params, trial_dir)
+        history.append({"trial": i, "params": trial_params, "objective": value})
+        with open(os.path.join(output_dir, "history.jsonl"), "a") as f:
+            f.write(json.dumps(history[-1]) + "\n")
+        print(f"trial {i}: {trial_params} -> {value}")
+    scored = [h for h in history if h["objective"] is not None]
+    reverse = goal == "maximize"
+    scored.sort(key=lambda h: h["objective"], reverse=reverse)
+    if scored:
+        print("best:", scored[0])
+    return history
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Local sweep driver")
+    p.add_argument("--config", required=True, help="wandb-style sweep YAML")
+    p.add_argument("--max-trials", type=int, default=20)
+    p.add_argument("--output-dir", default="./sweep")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--target", default="fr", choices=["fr", "nr"])
+    p.add_argument("--base-args", nargs=argparse.REMAINDER, default=[],
+                   help="args passed through to the target trainer")
+    args = p.parse_args(argv)
+    config = load_yaml(args.config)
+    metric_name = config.get("metric", {}).get("name",
+                                               "Test Metrics Dict/combined_score")
+
+    if args.target == "fr":
+        from nerf_qa_tpu.tools.run_fr import main as target_main
+    else:
+        from nerf_qa_tpu.tools.train_nr import main as target_main
+
+    def trial_fn(params: dict, trial_dir: str):
+        argv = list(args.base_args)
+        for k, v in params.items():
+            argv += [f"--{k.replace('_', '-')}", str(v)]
+        argv += ["--output-dir", trial_dir]
+        try:
+            target_main(argv)
+        except SystemExit:
+            pass
+        except Exception as exc:
+            print("trial failed:", exc)
+            return None
+        return read_objective(os.path.join(trial_dir, "metrics.jsonl"),
+                              metric_name)
+
+    run_sweep(config, trial_fn, args.max_trials, args.output_dir, args.seed)
+
+
+if __name__ == "__main__":
+    main()
