@@ -36,6 +36,7 @@ import numpy as np
 
 from nerf_qa_tpu.data.imaging import (
     load_image_rgb,
+    load_resized,
     paired_random_crop,
     paired_random_resize,
     paired_rotate,
@@ -312,10 +313,9 @@ class Test2VideoDataset:
         gt_path, render_path = self.files[idx]
 
         def pack(p):
-            img = load_image_rgb(p)
             return {
-                "256x256": resize_image(img, 256, 256),
-                "224x224": resize_image(img, 224, 224),
+                "256x256": load_resized(p, 256, 256),
+                "224x224": load_resized(p, 224, 224),
             }
 
         return pack(gt_path), pack(render_path)

@@ -1,0 +1,100 @@
+"""ctypes bindings for the native decode/resize library.
+
+The C++ layer (native/decoder.cpp) replaces PIL-in-worker-process decode
+(the reference's data plane) with an in-process thread pool writing
+float32 NHWC batches directly into numpy buffers. Falls back to the PIL
+path transparently when the library isn't built.
+
+Build: ``bash native/build.sh`` (libpng/libjpeg/zlib, baked into the
+image).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libnqa_decoder.so",
+)
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        raise RuntimeError(
+            f"native decoder not built ({_LIB_PATH}); run native/build.sh"
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.nqa_decode_resize.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.nqa_decode_resize.restype = ctypes.c_int
+    lib.nqa_image_size.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.nqa_image_size.restype = ctypes.c_int
+    lib.nqa_decode_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.nqa_decode_resize_batch.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+def image_size(path: str) -> tuple[int, int]:
+    lib = _load()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.nqa_image_size(path.encode(), ctypes.byref(h), ctypes.byref(w)):
+        raise IOError(f"decode failed: {path}")
+    return h.value, w.value
+
+
+def decode_resize(path: str, out_h: int, out_w: int) -> np.ndarray:
+    """Decode + bilinear resize to float32 (out_h, out_w, 3) in [0,1];
+    RGBA composites onto white (matches data/imaging.load_image_rgb)."""
+    lib = _load()
+    out = np.empty((out_h, out_w, 3), np.float32)
+    rc = lib.nqa_decode_resize(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_h, out_w,
+    )
+    if rc:
+        raise IOError(f"decode failed: {path}")
+    return out
+
+
+def decode_resize_batch(paths: list[str], out_h: int, out_w: int,
+                        threads: int = 8) -> np.ndarray:
+    """Parallel decode+resize into one (N, out_h, out_w, 3) f32 batch."""
+    lib = _load()
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.nqa_decode_resize_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_h, out_w, threads,
+    )
+    if failures:
+        raise IOError(f"{failures}/{n} decodes failed")
+    return out

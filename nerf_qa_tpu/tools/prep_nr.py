@@ -18,7 +18,7 @@ from PIL import Image
 from nerf_qa_tpu.config import ADISTSConfig
 from nerf_qa_tpu.core import adists
 from nerf_qa_tpu.core.vgg import init_vgg16_params
-from nerf_qa_tpu.data.imaging import load_image_rgb, resize_image
+from nerf_qa_tpu.data.imaging import load_image_rgb, load_resized, resize_image
 from nerf_qa_tpu.tools.prep_fr import PairScorer
 
 
@@ -46,12 +46,10 @@ def compute_frame_scores(scorer: PairScorer, color_dir: str, gt_dir: str,
     for lo in range(0, len(names), batch_size):
         chunk = names[lo:lo + batch_size]
         renders = np.stack([
-            resize_image(load_image_rgb(os.path.join(color_dir, n)), 256, 256)
-            for n in chunk
+            load_resized(os.path.join(color_dir, n), 256, 256) for n in chunk
         ])
         gts = np.stack([
-            resize_image(load_image_rgb(os.path.join(gt_dir, n)), 256, 256)
-            for n in chunk
+            load_resized(os.path.join(gt_dir, n), 256, 256) for n in chunk
         ])
         scores.extend(scorer.score_pairs(gts, renders)["DISTS"].tolist())
     return names, np.asarray(scores)
