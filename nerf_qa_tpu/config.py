@@ -118,6 +118,9 @@ class TrainConfig:
     project_weights: bool = False
     seed: int = 0
     folds: int = 4  # GroupKFold CV (run_final.py:231-239)
+    # accumulate gradients over N micro-batches before each optimizer step
+    # (run.py:138-167 accumulates a whole epoch, weighted 1/frame_count)
+    grad_accum_steps: int = 0
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

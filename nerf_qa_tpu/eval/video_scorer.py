@@ -30,14 +30,23 @@ from nerf_qa_tpu.ops.resize import resize_bilinear, resize_bilinear_aa
 from nerf_qa_tpu.parallel import mesh as meshlib
 
 
-def _prep(frames: jax.Array, out_hw: tuple[int, int] | None, antialias: bool):
-    x = frames.astype(jnp.float32)
-    if frames.dtype == jnp.uint8:
-        x = x / 255.0
+def _prep(frames: jax.Array, out_hw: tuple[int, int] | None, antialias: bool,
+          fast: bool = False):
+    scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
     if out_hw is not None and (frames.shape[1], frames.shape[2]) != out_hw:
-        resize = resize_bilinear_aa if antialias else resize_bilinear
-        x = resize(x, out_hw[0], out_hw[1])
-    return x
+        if antialias:
+            return resize_bilinear_aa(frames.astype(jnp.float32) * scale,
+                                      out_hw[0], out_hw[1])
+        if fast:
+            # serving path: bf16 MXU resize with folded normalization
+            return resize_bilinear(
+                frames, out_hw[0], out_hw[1],
+                precision=jax.lax.Precision.DEFAULT,
+                compute_dtype=jnp.bfloat16, scale=scale,
+            )
+        return resize_bilinear(frames, out_hw[0], out_hw[1], scale=scale)
+    x = frames.astype(jnp.float32)
+    return x * scale if scale != 1.0 else x
 
 
 class FrameScorer:
@@ -78,9 +87,11 @@ class FrameScorer:
         self._step = self._build_step()
 
     def _build_step(self):
+        fast = self.cfg.compute_dtype == "bfloat16"
+
         def step(vgg_params, weights, dist_frames, ref_frames):
-            x = _prep(dist_frames, self.resize_to, self.antialias)
-            y = _prep(ref_frames, self.resize_to, self.antialias)
+            x = _prep(dist_frames, self.resize_to, self.antialias, fast)
+            y = _prep(ref_frames, self.resize_to, self.antialias, fast)
             return dists.forward(vgg_params, weights, x, y, self.cfg)
 
         donate = (2, 3)

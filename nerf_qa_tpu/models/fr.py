@@ -132,6 +132,32 @@ def entropy_loss(
     return -jnp.sum(orig * jnp.log(weights + 1e-10))
 
 
+def init_stats_head(n_stats: int = 3) -> dict[str, jax.Array]:
+    """Video-statistics-conditioned head extension (run_test2_stats.py:
+    122-135,195 feeds per-video DISTS std/min/max alongside the frame
+    score): a zero-initialized linear term over the stats features added
+    to the base regression output."""
+    return {
+        "stats_weight": jnp.zeros((n_stats,), jnp.float32),
+    }
+
+
+def apply_head_with_stats(
+    head: dict[str, jax.Array],
+    dists_scores: jax.Array,
+    stats: jax.Array | None,
+    cfg: FRModelConfig,
+) -> jax.Array:
+    """Regression head with optional per-video stats features.
+
+    stats: (N, n_stats) — e.g. [DISTS_std, DISTS_min, DISTS_max] gathered
+    per frame's video. None falls back to the plain head."""
+    base = apply_head(head, dists_scores, cfg)
+    if stats is None or "stats_weight" not in head:
+        return base
+    return base + stats @ head["stats_weight"]
+
+
 def param_labels(params: dict[str, Any]) -> dict[str, Any]:
     """Optimizer param-group labels — the ``get_param_lr`` superset
     (run_test2_cross.py:151 calls it; never checked in). 'head' params

@@ -39,6 +39,13 @@ def make_optimizer(
     (the ``get_param_lr`` superset, SURVEY §2 #7)."""
     schedule = make_schedule(cfg, steps_per_epoch)
 
+    if cfg.optimizer in ("sadamw", "schedule_free"):
+        # schedule-free AdamW — the reference's 'sadamw' option
+        # (run_final.py / run_test2_sf.py use the schedulefree package)
+        return optax.contrib.schedule_free_adamw(
+            learning_rate=cfg.lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps
+        )
+
     def adam(scale: float):
         return optax.chain(
             optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
@@ -48,11 +55,15 @@ def make_optimizer(
         )
 
     if head_lr_scale == 1.0:
-        return adam(1.0)
-    return optax.multi_transform(
-        {"head": adam(head_lr_scale), "dists": adam(1.0)},
-        param_labels=fr.param_labels,
-    )
+        opt = adam(1.0)
+    else:
+        opt = optax.multi_transform(
+            {"head": adam(head_lr_scale), "dists": adam(1.0)},
+            param_labels=fr.param_labels,
+        )
+    if cfg.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
+    return opt
 
 
 class FRTrainer:
@@ -77,11 +88,18 @@ class FRTrainer:
         self._eval_step = self._build_eval_step()
 
     # -- step builders ---------------------------------------------------
-    def loss_fn(self, params, dist_imgs, ref_imgs, targets):
+    def loss_fn(self, params, dist_imgs, ref_imgs, targets,
+                sample_weights=None):
         pred, dists_score = fr.forward(
             params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg
         )
-        l1 = jnp.abs(pred - targets).mean()
+        err = jnp.abs(pred - targets)
+        if sample_weights is not None:
+            # per-frame weights, e.g. 1/frame_count so each video
+            # contributes equally to the epoch gradient (run.py:138-167)
+            l1 = (err * sample_weights).sum() / sample_weights.sum()
+        else:
+            l1 = err.mean()
         loss = l1
         if self.train_cfg.entropy_loss_coeff:
             loss = loss + self.train_cfg.entropy_loss_coeff * fr.entropy_loss(
@@ -90,9 +108,10 @@ class FRTrainer:
         return loss, (pred, dists_score, l1)
 
     def _build_train_step(self):
-        def step(params, opt_state, dist_imgs, ref_imgs, targets):
+        def step(params, opt_state, dist_imgs, ref_imgs, targets,
+                 sample_weights):
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                params, dist_imgs, ref_imgs, targets
+                params, dist_imgs, ref_imgs, targets, sample_weights
             )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -110,7 +129,7 @@ class FRTrainer:
             rsh = meshlib.replicated(self.mesh)
             return jax.jit(
                 step,
-                in_shardings=(rsh, rsh, dsh, dsh, dsh),
+                in_shardings=(rsh, rsh, dsh, dsh, dsh, dsh),
                 out_shardings=(rsh, rsh, rsh, (dsh, dsh, rsh)),
             )
         return jax.jit(step)
@@ -137,11 +156,15 @@ class FRTrainer:
             opt_state = meshlib.replicate(self.mesh, opt_state)
         return params, opt_state
 
-    def train_step(self, params, opt_state, dist_imgs, ref_imgs, targets):
+    def train_step(self, params, opt_state, dist_imgs, ref_imgs, targets,
+                   sample_weights=None):
+        targets = jnp.asarray(targets, jnp.float32)
+        if sample_weights is None:
+            sample_weights = jnp.ones_like(targets)
         return self._train_step(
             params, opt_state,
             jnp.asarray(dist_imgs), jnp.asarray(ref_imgs),
-            jnp.asarray(targets, jnp.float32),
+            targets, jnp.asarray(sample_weights, jnp.float32),
         )
 
     def train_epoch(
