@@ -31,7 +31,7 @@ def main() -> None:
     from nerf_qa_tpu.core.vgg import init_vgg16_params
     from nerf_qa_tpu.ops.resize import resize_bilinear
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     n_buffers = 4
 
@@ -105,8 +105,9 @@ def main() -> None:
                     "batch": batch,
                     "iters": iters,
                     "device": str(jax.devices()[0]),
-                    "pipeline": "1080p u8 -> f32 -> resize256 -> VGG16 bf16 "
-                                "-> fused DISTS stats",
+                    "pipeline": "1080p u8 -> bf16 MXU resize256 -> VGG16 "
+                                "bf16 -> DISTS stats (pallas/XLA auto by "
+                                "stage size)",
                     "fps_device_pipeline": round(fps, 2),
                     "fps_including_h2d": round(fps_e2e, 2),
                     "h2d_gbps": round(h2d_bytes / h2d_s / 1e9, 3),

@@ -93,6 +93,13 @@ class NRModelConfig:
     refine_scale3: float = 0.1
     refine_scale4: float = 0.1
     dists_pref2ref_coeff: float = 0.5
+    # auxiliary score-regression head of the v3-v6 generations:
+    # 0 = off (v7/v8); 1 = score residual (v4, model_nr_v4.py:179-188);
+    # 2 = (+ mae map, v5:181-184); 4 = (+ pred_std, pred_mean,
+    # v6:188-203 with reg_activation calibration)
+    score_reg_channels: int = 0
+    reg_activation: str = "linear"  # 'linear' | 'relu' | 'sigmoid'
+    score_reg_scale: float = 1.0  # v3's wandb.config.score_reg_scale
     dists: DISTSConfig = field(default_factory=DISTSConfig)
 
     def replace(self, **kw) -> "NRModelConfig":

@@ -160,9 +160,13 @@ def pyramid_stats(feats0: Sequence[jax.Array], feats1: Sequence[jax.Array],
         from nerf_qa_tpu.ops.pallas.moments import stage_stats_pallas
 
         def stats_fn(fx, fy):
-            # Tiny-channel stages (the raw image, C=3) pad to 128 lanes in
-            # VMEM — XLA is strictly better there; Pallas wins at C>=64.
-            if fx.shape[-1] < 64:
+            # The fused kernel wins when a stage's feature map is large
+            # enough that the single-pass HBM saving beats the kernel
+            # launch (measured crossover ~1M pixels on v5e: at 256² inputs
+            # XLA is ~1.7x faster end-to-end; at full-res 1080p the fused
+            # pass wins on stages 1-2). Tiny-channel stages (C<64) pad to
+            # 128 lanes in VMEM — always XLA there.
+            if fx.shape[-1] < 64 or fx.shape[1] * fx.shape[2] < 1_000_000:
                 return stage_stats_xla(fx, fy)
             return stage_stats_pallas(fx, fy)
     else:

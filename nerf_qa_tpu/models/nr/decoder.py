@@ -74,6 +74,29 @@ class RefineUp(nn.Module):
         return feature_map, pred_feats
 
 
+class ScoreRegHead(nn.Module):
+    """Auxiliary score-regression head (v3-v6 generations).
+
+    Conv stack over the 16² mixed (DISTS top + semantic) features,
+    spatially mean-pooled to k channels (model_nr_v4.py:179-188,
+    model_nr_v6.py:188-203). Channel meanings by k: [score_residual,
+    mae_map, pred_std, pred_mean]; ``reg_activation`` calibrates the
+    std/mean outputs (v6: linear/relu/sigmoid).
+    """
+
+    channels: int
+    dropout_rate: float = 0.0
+    norm_type: str = "channel"
+
+    @nn.compact
+    def __call__(self, mixed, deterministic: bool = True):
+        h = ConvLayer(mixed.shape[-1] // 2, activation=True,
+                      dropout_rate=self.dropout_rate,
+                      norm_type=self.norm_type)(mixed, deterministic)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME")(h)
+        return h.mean(axis=(1, 2))  # (N, channels)
+
+
 class NRDecoder(nn.Module):
     """Transformer context mixer + RefineUp cascade
     (model_nr_v8.py:190-236).
@@ -114,6 +137,13 @@ class NRDecoder(nn.Module):
             trans_decode = sem_feats
 
         feature_map = jnp.concatenate([top, trans_decode], axis=-1)
+        score_reg = None
+        if cfg.score_reg_channels > 0:
+            score_reg = ScoreRegHead(
+                cfg.score_reg_channels, cfg.dropout_rate,
+                "channel" if cfg.version >= 7 else "batch",
+                name="score_reg",
+            )(feature_map, deterministic)
         num_upscales = len(rev_chns) - 2
         predicted = []
         for i in range(num_upscales + 2):
@@ -136,4 +166,6 @@ class NRDecoder(nn.Module):
                 deterministic,
             )
             predicted.append(pred)
+        if score_reg is not None:
+            return list(reversed(predicted)), score_reg
         return list(reversed(predicted))

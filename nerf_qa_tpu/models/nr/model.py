@@ -121,7 +121,11 @@ class NRModel:
 
     def pred_gt_dists_feats(self, decoder_params, feats: EncoderFeats,
                             deterministic: bool = True, rng=None):
-        """Predict the GT DISTS pyramid (model_nr_v8.py:217-236)."""
+        """Predict the GT DISTS pyramid (model_nr_v8.py:217-236).
+
+        With score_reg_channels > 0 (v3-v6 configs) returns
+        (predicted_feats, score_reg) — score_reg (N, k) from the auxiliary
+        head; otherwise just predicted_feats."""
         rngs = {"dropout": rng} if rng is not None else {}
         return self.decoder.apply(
             {"params": decoder_params},
@@ -129,14 +133,39 @@ class NRModel:
             deterministic, rngs=rngs,
         )
 
+    def _split_decode(self, out):
+        if self.cfg.score_reg_channels > 0:
+            return out
+        return out, None
+
+    def calibrate_score(self, score: jax.Array, score_reg: jax.Array):
+        """v6 calibration (model_nr_v6.py:188-240): score adjusted by the
+        regressed residual; with 4 channels also returns the normalized
+        score (score - pred_mean) / pred_std after reg_activation."""
+        cfg = self.cfg
+        act = {"relu": jax.nn.relu, "sigmoid": jax.nn.sigmoid}.get(
+            cfg.reg_activation, lambda v: v
+        )
+        adjusted = score + cfg.score_reg_scale * score_reg[:, 0]
+        if score_reg.shape[-1] >= 4:
+            pred_std = act(score_reg[:, 2]) + 1e-6
+            pred_mean = act(score_reg[:, 3])
+            return adjusted, (adjusted - pred_mean) / pred_std
+        return adjusted, adjusted
+
     def forward_from_feats(self, decoder_params, feats: EncoderFeats,
                            deterministic: bool = True, rng=None) -> jax.Array:
-        """Per-image NR score (model_nr_v8.py:239-246)."""
-        predicted = self.pred_gt_dists_feats(decoder_params, feats,
-                                             deterministic, rng)
-        return dists.score_from_feats(
+        """Per-image NR score (model_nr_v8.py:239-246). For v3-v6 configs
+        the auxiliary regression adjusts the score (v6 semantics)."""
+        out = self.pred_gt_dists_feats(decoder_params, feats,
+                                       deterministic, rng)
+        predicted, score_reg = self._split_decode(out)
+        score = dists.score_from_feats(
             self.dists_weights, feats.dists_feats, predicted, self.cfg.dists
         )
+        if score_reg is not None:
+            score, _ = self.calibrate_score(score, score_reg)
+        return score
 
     def forward(self, decoder_params, render_256, render_224,
                 deterministic: bool = True, rng=None) -> jax.Array:
@@ -147,13 +176,18 @@ class NRModel:
 
     # -- losses ---------------------------------------------------------------
     def losses(self, decoder_params, gt_image, render_256, render_224,
-               rng=None) -> dict[str, jax.Array]:
-        """Self-supervised training losses (model_nr_v8.py:250-274)."""
+               rng=None, score_std=None, score_mean=None) -> dict[str, jax.Array]:
+        """Self-supervised training losses (model_nr_v8.py:250-274).
+
+        For v6-style configs (score_reg_channels >= 4), per-frame dataset
+        DISTS std/mean targets supervise the calibration outputs
+        (model_nr_v6.py:243-276)."""
         cfg = self.cfg
         feats = self.encode(render_256, render_224)
-        predicted = self.pred_gt_dists_feats(
+        out = self.pred_gt_dists_feats(
             decoder_params, feats, deterministic=rng is None, rng=rng
         )
+        predicted, score_reg = self._split_decode(out)
         predicted_score = dists.score_from_feats(
             self.dists_weights, feats.dists_feats, predicted, cfg.dists
         )
@@ -180,4 +214,15 @@ class NRModel:
             cfg.dists_pref2ref_coeff * pref2ref
             + (1.0 - cfg.dists_pref2ref_coeff) * l1
         )
-        return {"dists_pref2ref": pref2ref, "l1": l1, "combined": combined}
+        losses = {"dists_pref2ref": pref2ref, "l1": l1, "combined": combined}
+        if score_reg is not None and score_reg.shape[-1] >= 4 \
+                and score_std is not None:
+            act = {"relu": jax.nn.relu, "sigmoid": jax.nn.sigmoid}.get(
+                cfg.reg_activation, lambda v: v
+            )
+            std_loss = jnp.abs(act(score_reg[:, 2]) - score_std).mean()
+            mean_loss = jnp.abs(act(score_reg[:, 3]) - score_mean).mean()
+            losses["std_loss"] = std_loss
+            losses["mean_loss"] = mean_loss
+            losses["combined"] = combined + std_loss + mean_loss
+        return losses
