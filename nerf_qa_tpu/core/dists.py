@@ -140,8 +140,12 @@ def stage_stats_xla(fx: jax.Array, fy: jax.Array) -> StageStats:
     """Spatial moments of one feature stage, NHWC -> (N, C) each.
 
     Matches the torch reduction order exactly (two-pass variance,
-    E[xy] - x̄·ȳ covariance; DISTS_pt.py:131-139).
+    E[xy] - x̄·ȳ covariance; DISTS_pt.py:131-139). bf16 features upcast
+    to fp32 inside the reductions (XLA fuses the cast — nothing
+    materializes in fp32).
     """
+    fx = fx.astype(jnp.float32)
+    fy = fy.astype(jnp.float32)
     mean_x = fx.mean(axis=(1, 2))
     mean_y = fy.mean(axis=(1, 2))
     var_x = jnp.square(fx - mean_x[:, None, None, :]).mean(axis=(1, 2))

@@ -106,21 +106,24 @@ def vgg16_pyramid(
     """Run the 5-stage pyramid on NHWC images in [0, 1].
 
     Returns ``[x, relu1_2, relu2_2, relu3_3, relu4_3, relu5_3]`` — the exact
-    feature list of ``DISTS.forward_once`` (DISTS_pt.py:91-103), each in
-    float32 NHWC. Set ``compute_dtype=jnp.bfloat16`` to run convs on the
-    MXU in bf16 with fp32 accumulation.
+    feature list of ``DISTS.forward_once`` (DISTS_pt.py:91-103). Set
+    ``compute_dtype=jnp.bfloat16`` to run convs on the MXU in bf16 with
+    fp32 accumulation; in that mode the returned features are ALSO bf16 —
+    at full resolution (1080p) fp32 pyramids exceed HBM (a single stage-1
+    buffer is 4+ GB); downstream statistics upcast to fp32 inside their
+    fused reductions, so precision of the moments is preserved.
     """
     pool_precision = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    feats = [x.astype(jnp.float32)]
+    feats = [x.astype(compute_dtype)]
     h = normalize_imagenet(x.astype(jnp.float32))
     for si in range(5):
         if si > 0:
-            h = l2pool(h, precision=pool_precision)
+            h = l2pool(h, precision=pool_precision).astype(compute_dtype)
         for layer in params[f"stage{si + 1}"]:
             h = _conv_relu(h, layer["kernel"], layer["bias"], compute_dtype)
-        feats.append(h.astype(jnp.float32))
+        feats.append(h.astype(compute_dtype))
     return feats

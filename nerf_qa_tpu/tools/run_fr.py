@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats-impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--wandb", action="store_true",
                    help="log to wandb if installed (JSONL sink otherwise)")
+    p.add_argument("--grad-accum-steps", type=int, default=0,
+                   help="accumulate N micro-batch gradients per step "
+                        "(run.py full-epoch accumulation style)")
     return p
 
 
@@ -134,6 +137,7 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
         batch_size=args.batch_size,
         entropy_loss_coeff=args.entropy_loss_coeff,
         project_weights=args.project_weights,
+        grad_accum_steps=args.grad_accum_steps,
     )
     train_loader = make_loader(args, train_df.reset_index(drop=True), args.seed)
     steps_per_epoch = max(1, len(train_loader))
