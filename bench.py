@@ -94,6 +94,26 @@ def main() -> None:
     dt_e2e = time.perf_counter() - t0
     fps_e2e = batch / dt_e2e
 
+    # secondary: ADISTS scoring throughput (same resize front-end)
+    from nerf_qa_tpu.config import ADISTSConfig
+    from nerf_qa_tpu.core import adists
+
+    acfg = ADISTSConfig(compute_dtype="bfloat16")
+
+    @jax.jit
+    def pipeline_adists(d_u8, r_u8):
+        x = resize_bilinear(d_u8, 256, 256, **fast_resize)
+        y = resize_bilinear(r_u8, 256, 256, **fast_resize)
+        return adists.forward(params, x, y, acfg, as_loss=False)
+
+    out = pipeline_adists(*dev_pairs[0])
+    _ = np.asarray(out)
+    t0 = time.perf_counter()
+    outs = [pipeline_adists(*dev_pairs[i % n_buffers]) for i in range(iters)]
+    jax.block_until_ready(outs)
+    _ = np.asarray(outs[-1])
+    fps_adists = batch * iters / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -109,6 +129,7 @@ def main() -> None:
                                 "bf16 -> DISTS stats (pallas/XLA auto by "
                                 "stage size)",
                     "fps_device_pipeline": round(fps, 2),
+                    "fps_adists": round(fps_adists, 2),
                     "fps_including_h2d": round(fps_e2e, 2),
                     "h2d_gbps": round(h2d_bytes / h2d_s / 1e9, 3),
                     "h2d_note": "TPU reached via a network tunnel in this "

@@ -100,6 +100,10 @@ class NRModelConfig:
     score_reg_channels: int = 0
     reg_activation: str = "linear"  # 'linear' | 'relu' | 'sigmoid'
     score_reg_scale: float = 1.0  # v3's wandb.config.score_reg_scale
+    # v3's RefineDown manifold consistency (model_nr_v3.py:65-93,256-267):
+    # re-encode the predicted image through the frozen pyramid and pull
+    # the predicted features toward it. 0 = off (v8 default).
+    re_encode_coeff: float = 0.0
     dists: DISTSConfig = field(default_factory=DISTSConfig)
 
     def replace(self, **kw) -> "NRModelConfig":

@@ -215,6 +215,23 @@ class NRModel:
             + (1.0 - cfg.dists_pref2ref_coeff) * l1
         )
         losses = {"dists_pref2ref": pref2ref, "l1": l1, "combined": combined}
+        if cfg.re_encode_coeff > 0:
+            # v3 manifold consistency: the predicted pyramid level 0 is a
+            # 3-channel image — push it back through the frozen VGG and
+            # penalize divergence from the predicted deeper features
+            # (model_nr_v3.py re-encodes predictions through the actual
+            # DISTS stages so they stay on the VGG manifold).
+            re_feats = vgg16_pyramid(
+                self.vgg_params, jnp.clip(predicted[0], 0.0, 1.0),
+                compute_dtype=compute_dtype,
+            )
+            re_loss = sum(
+                jnp.abs(rf.astype(jnp.float32) - pf.astype(jnp.float32)).mean()
+                for rf, pf in zip(re_feats[1:], predicted[1:])
+            ) / (len(predicted) - 1)
+            losses["re_encode"] = re_loss
+            combined = combined + cfg.re_encode_coeff * re_loss
+            losses["combined"] = combined
         if score_reg is not None and score_reg.shape[-1] >= 4 \
                 and score_std is not None:
             act = {"relu": jax.nn.relu, "sigmoid": jax.nn.sigmoid}.get(

@@ -67,3 +67,19 @@ def test_v8_default_unchanged(batch):
     params = m.init(seed=0)
     losses = m.losses(params, gt, render, r224)
     assert set(losses) == {"dists_pref2ref", "l1", "combined"}
+
+
+def test_v3_re_encode_consistency(batch):
+    gt, render, r224 = batch
+    cfg = NRModelConfig(version=8, transformer_decoder_depth=0,
+                        refine_up_depth=1, re_encode_coeff=0.1)
+    m = _model(cfg)
+    params = m.init(seed=0)
+    losses = m.losses(params, gt, render, r224)
+    assert "re_encode" in losses
+    base = (cfg.dists_pref2ref_coeff * losses["dists_pref2ref"]
+            + (1 - cfg.dists_pref2ref_coeff) * losses["l1"])
+    np.testing.assert_allclose(
+        float(losses["combined"]),
+        float(base + 0.1 * losses["re_encode"]), rtol=1e-5,
+    )
