@@ -20,8 +20,8 @@ Outputs: scalar loss 1 - mean(D) (as_loss), per-image 1 - D, or a
 full-resolution distortion map 1 - Σ upsampled D_maps (as_map).
 
 TPU notes: everything is static-shape; the coarse->fine recursion is a
-Python loop over 6 static stages (unrolled by jit); windowed moments use
-separable depthwise convs (ops/windowed.py).
+Python loop over 6 static stages (unrolled by jit); windowed moments run
+as separable banded matmuls on the MXU (ops/windowed.py).
 """
 from __future__ import annotations
 
@@ -71,7 +71,8 @@ def _minmax_norm(x: jax.Array) -> jax.Array:
     return (x - mn) / (mx - mn + _C0)
 
 
-def compute_prob(feats: Sequence[jax.Array], window_size: int = 21) -> list[jax.Array]:
+def compute_prob(feats: Sequence[jax.Array], window_size: int = 21,
+                 precision=None) -> list[jax.Array]:
     """Per-stage structure probability maps ps (ADISTS.py:71-100),
     cascaded coarse -> fine. Returns one (N, Hk, Wk, 1) map per stage."""
     ps_list: list[jax.Array] = []
@@ -80,8 +81,9 @@ def compute_prob(feats: Sequence[jax.Array], window_size: int = 21) -> list[jax.
         f = feats[k].astype(jnp.float32)
         n, h, w, c = f.shape
         if fits_window(h, w, window_size):
-            x_mean = window_mean(f, window_size)
-            x_var = window_mean(f * f, window_size) - jnp.square(x_mean)
+            x_mean = window_mean(f, window_size, precision=precision)
+            x_var = window_mean(f * f, window_size,
+                                precision=precision) - jnp.square(x_mean)
             gamma = (x_var / (x_mean + _C0)).mean(axis=-1, keepdims=True)
             g_mean = gamma.mean(axis=(1, 2), keepdims=True)
             # torch .std() default is unbiased (ddof=1) — ADISTS.py:83
@@ -142,7 +144,10 @@ def forward(
     feats_x = [f[:n] for f in both]
     feats_y = [f[n:] for f in both]
 
-    ps_x = compute_prob(feats_x, cfg.window_size)
+    # serving fast path: bf16-grade MXU matmuls for the windowed stats
+    wprec = (jax.lax.Precision.DEFAULT
+             if cfg.compute_dtype == "bfloat16" else None)
+    ps_x = compute_prob(feats_x, cfg.window_size, precision=wprec)
 
     # entropy channel weights, clamped to mean +- 0.5 std (ADISTS.py:152-160)
     weight = jnp.concatenate([entropy_weights(f) for f in feats_x], axis=1)
@@ -166,11 +171,14 @@ def forward(
         fy = _spatial_l2_normalize(feats_y[k].astype(jnp.float32))
         h, w = fx.shape[1], fx.shape[2]
         if fits_window(h, w, cfg.window_size):
-            x_mean = window_mean(fx, cfg.window_size)
-            y_mean = window_mean(fy, cfg.window_size)
-            x_var = window_mean(fx * fx, cfg.window_size) - jnp.square(x_mean)
-            y_var = window_mean(fy * fy, cfg.window_size) - jnp.square(y_mean)
-            xy_cov = window_mean(fx * fy, cfg.window_size) - x_mean * y_mean
+            x_mean = window_mean(fx, cfg.window_size, precision=wprec)
+            y_mean = window_mean(fy, cfg.window_size, precision=wprec)
+            x_var = window_mean(fx * fx, cfg.window_size,
+                                precision=wprec) - jnp.square(x_mean)
+            y_var = window_mean(fy * fy, cfg.window_size,
+                                precision=wprec) - jnp.square(y_mean)
+            xy_cov = window_mean(fx * fy, cfg.window_size,
+                                 precision=wprec) - x_mean * y_mean
         else:
             x_mean = fx.mean(axis=(1, 2), keepdims=True)
             y_mean = fy.mean(axis=(1, 2), keepdims=True)

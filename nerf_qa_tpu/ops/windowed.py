@@ -8,10 +8,10 @@ reference wraps inputs in ReflectionPad2d(0), i.e. no padding) and
 window exceeds the feature map).
 
 TPU design: the 2-D Gaussian window is separable, so each windowed moment
-is two 1-D weighted sums. We express them as conv_general_dilated with a
-(K,1,1,1)-shaped kernel broadcast over channels via feature_group_count —
-XLA lowers stride-1 depthwise separable convs to efficient VPU code — in
-float32 (the moments feed ratio statistics that are precision-sensitive).
+is two 1-D weighted sums, expressed as banded (out x in) matrices applied
+with einsum — the MXU runs these far faster than stride-1 depthwise convs
+on the VPU (the same formulation trick as ops/resize). Accumulation is
+float32; parity mode uses HIGHEST matmul precision.
 """
 from __future__ import annotations
 
@@ -33,29 +33,45 @@ def gaussian_taps(window_size: int, sigma: float) -> tuple[float, ...]:
     return tuple(g / g.sum())
 
 
-def _conv1d_depthwise(x: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
-    """VALID 1-D depthwise conv along a spatial axis of NHWC x."""
-    c = x.shape[-1]
-    k = taps.reshape((-1, 1, 1, 1) if axis == 1 else (1, -1, 1, 1))
-    k = jnp.broadcast_to(k, k.shape[:2] + (1, c))
-    return jax.lax.conv_general_dilated(
-        x, k, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        preferred_element_type=jnp.float32,
-    )
+def _band_matrix(in_size: int, taps: tuple[float, ...]) -> np.ndarray:
+    """(out, in) banded matrix applying a VALID 1-D window: row o holds
+    the taps at columns o..o+K-1. Expressing the windowed sum as a dense
+    matmul puts it on the MXU — stride-1 depthwise convs run on the VPU
+    and are the ADISTS hot spot (same trick as ops/resize)."""
+    k = len(taps)
+    out_size = in_size - k + 1
+    mat = np.zeros((out_size, in_size), np.float32)
+    for i, t in enumerate(taps):
+        mat[np.arange(out_size), np.arange(out_size) + i] = t
+    return mat
+
+
+def _window_axis(x: jax.Array, taps, axis: int,
+                 precision: jax.lax.Precision) -> jax.Array:
+    mat = jnp.asarray(_band_matrix(x.shape[axis], taps))
+    eq = "oh,nhwc->nowc" if axis == 1 else "ow,nhwc->nhoc"
+    return jnp.einsum(eq, mat, x, precision=precision,
+                      preferred_element_type=jnp.float32)
 
 
 def window_mean(x: jax.Array, window_size: int = 21,
-                sigma: float | None = None) -> jax.Array:
+                sigma: float | None = None,
+                precision: jax.lax.Precision | None = None) -> jax.Array:
     """Gaussian windowed mean, VALID padding: (N,H,W,C) ->
-    (N,H-K+1,W-K+1,C)."""
+    (N,H-K+1,W-K+1,C). Two banded matmuls (separable window) on the MXU;
+    fp32 inputs default to HIGHEST precision (parity), bf16 to DEFAULT.
+    """
     if sigma is None:
         sigma = window_size / 3.0
-    taps = jnp.asarray(gaussian_taps(window_size, sigma), jnp.float32)
-    return _conv1d_depthwise(
-        _conv1d_depthwise(x.astype(jnp.float32), taps, 1), taps, 2
-    )
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+    taps = gaussian_taps(window_size, sigma)
+    y = _window_axis(x, taps, 1, precision)
+    return _window_axis(y, taps, 2, precision)
 
 
 def fits_window(h: int, w: int, window_size: int = 21) -> bool:
