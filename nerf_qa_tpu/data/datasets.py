@@ -28,9 +28,8 @@ from __future__ import annotations
 
 import ast
 import os
-from dataclasses import dataclass
 from os import path
-from typing import Any, Sequence
+from typing import Sequence
 
 import numpy as np
 

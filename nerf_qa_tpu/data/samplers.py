@@ -10,7 +10,7 @@ plus a host_shard helper for multi-host input sharding.
 """
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Mapping, Sequence
+from typing import Iterator, Mapping, Sequence
 
 import numpy as np
 

@@ -17,8 +17,7 @@ TPU design
 """
 from __future__ import annotations
 
-import functools
-from typing import Iterable, Sequence
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

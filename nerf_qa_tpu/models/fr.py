@@ -22,7 +22,6 @@ import numpy as np
 
 from nerf_qa_tpu.config import FRModelConfig
 from nerf_qa_tpu.core import dists
-from nerf_qa_tpu.core.vgg import vgg16_pyramid
 
 
 def _logistic_np(x, b1, b2, b3, b4, sign):

@@ -10,8 +10,6 @@ TPU notes: NHWC; conv kernels HWIO; Dropout2d drops whole channels
 """
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -22,11 +22,10 @@ over the data mesh.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nerf_qa_tpu.config import NRModelConfig
 from nerf_qa_tpu.core import dists

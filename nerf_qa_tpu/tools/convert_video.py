@@ -13,7 +13,7 @@ import os
 import numpy as np
 from PIL import Image
 
-from nerf_qa_tpu.data.imaging import resize_image, resize_shortest_side
+from nerf_qa_tpu.data.imaging import resize_image
 from nerf_qa_tpu.data.video import load_video_frames
 
 

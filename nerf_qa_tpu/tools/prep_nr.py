@@ -17,7 +17,6 @@ from PIL import Image
 
 from nerf_qa_tpu.config import ADISTSConfig
 from nerf_qa_tpu.core import adists
-from nerf_qa_tpu.core.vgg import init_vgg16_params
 from nerf_qa_tpu.data.imaging import load_image_rgb, load_resized, resize_image
 from nerf_qa_tpu.tools.prep_fr import PairScorer
 

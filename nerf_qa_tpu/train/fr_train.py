@@ -15,8 +15,7 @@ projection, not an in-place mutation).
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Iterable
+from typing import Any, Iterable
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from nerf_qa_tpu.config import NRModelConfig, TrainConfig
+from nerf_qa_tpu.config import TrainConfig
 from nerf_qa_tpu.logging.metrics import MetricAggregator
 from nerf_qa_tpu.models.nr.model import NRModel
 from nerf_qa_tpu.parallel import mesh as meshlib
