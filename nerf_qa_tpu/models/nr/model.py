@@ -182,7 +182,29 @@ class NRModel:
         DISTS std/mean targets supervise the calibration outputs
         (model_nr_v6.py:243-276)."""
         cfg = self.cfg
-        feats = self.encode(render_256, render_224)
+        compute_dtype = (
+            jnp.bfloat16 if cfg.dists.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+        # One VGG stream for render+GT (rather than encode() + a separate
+        # gt pyramid): halves the conv work of the training step.
+        n = render_256.shape[0]
+        sem_input = render_224 if cfg.vit_model == "dinov2" else render_256
+        toks = self.vit.apply({"params": self.vit_params}, sem_input)
+        gh, gw = toks["grid"]
+        sem_feats = toks["x_norm_patchtokens"].reshape(n, gh, gw, -1)
+        sem_pyramid = self.jbu.apply(
+            {"params": self.jbu_params}, sem_feats, sem_input
+        )
+        both = vgg16_pyramid(
+            self.vgg_params, jnp.concatenate([render_256, gt_image], axis=0),
+            compute_dtype=compute_dtype,
+        )
+        feats = EncoderFeats(
+            [f[:n] for f in both], sem_feats, sem_pyramid
+        )
+        feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
+        gt_feats = [jax.lax.stop_gradient(f[n:]) for f in both]
         out = self.pred_gt_dists_feats(
             decoder_params, feats, deterministic=rng is None, rng=rng
         )
@@ -190,15 +212,6 @@ class NRModel:
         predicted_score = dists.score_from_feats(
             self.dists_weights, feats.dists_feats, predicted, cfg.dists
         )
-        compute_dtype = (
-            jnp.bfloat16 if cfg.dists.compute_dtype == "bfloat16"
-            else jnp.float32
-        )
-        gt_feats = [
-            jax.lax.stop_gradient(f)
-            for f in vgg16_pyramid(self.vgg_params, gt_image,
-                                   compute_dtype=compute_dtype)
-        ]
         gt_dists_score = jax.lax.stop_gradient(
             dists.score_from_feats(
                 self.dists_weights, gt_feats, feats.dists_feats, cfg.dists
