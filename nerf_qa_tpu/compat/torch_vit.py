@@ -24,6 +24,7 @@ patch conv is OIHW -> HWIO.
 """
 from __future__ import annotations
 
+import math
 from typing import Mapping
 
 import numpy as np
@@ -31,6 +32,36 @@ import numpy as np
 
 def _np(t) -> np.ndarray:
     return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def interpolate_pos_embed(patch_pos: np.ndarray, grid_size: int) -> np.ndarray:
+    """Resample a (1, M*M, D) patch pos-embed grid to (1, grid², D).
+
+    Real ``dinov2_vits14_reg`` checkpoints carry a 37x37 grid (1369
+    patches, trained at 518²); :class:`ViTS14` at 224² needs 16x16.
+    This mirrors DINOv2's own ``interpolate_pos_encoding`` exactly:
+    bicubic, ``scale_factor=(grid + 0.1) / M`` (interpolate_offset=0.1),
+    antialias off (dinov2 vision_transformer.py).
+    """
+    n = patch_pos.shape[1]
+    m = int(round(math.sqrt(n)))
+    if m * m != n:
+        raise ValueError(f"pos_embed patch count {n} is not a square grid")
+    if m == grid_size:
+        return patch_pos.astype(np.float32)
+    import torch
+
+    t = torch.from_numpy(
+        np.ascontiguousarray(patch_pos.astype(np.float32))
+    ).reshape(1, m, m, -1).permute(0, 3, 1, 2)
+    scale = float(grid_size + 0.1) / m
+    out = torch.nn.functional.interpolate(
+        t, scale_factor=(scale, scale), mode="bicubic", antialias=False
+    )
+    assert out.shape[-2:] == (grid_size, grid_size), out.shape
+    return (
+        out.permute(0, 2, 3, 1).reshape(1, grid_size * grid_size, -1).numpy()
+    )
 
 
 def _dense(state: Mapping, prefix: str) -> dict:
@@ -48,8 +79,13 @@ def _layernorm(state: Mapping, prefix: str) -> dict:
 
 
 def convert_dinov2_vit(state: Mapping, depth: int = 12,
-                       num_registers: int = 4) -> dict:
-    """dinov2_vits14_reg state_dict -> ViTS14 flax params dict."""
+                       num_registers: int = 4, grid_size: int = 16) -> dict:
+    """dinov2_vits14_reg state_dict -> ViTS14 flax params dict.
+
+    ``grid_size`` is the model's patch grid (sem_size // 14; 16 for the
+    224² NR input). Checkpoints trained at other resolutions (the real
+    hub checkpoint has a 37x37 grid) are bicubically resampled with
+    DINOv2's own interpolation convention."""
     w = _np(state["patch_embed.proj.weight"])  # (D, 3, 14, 14)
     params: dict = {
         "patch_embed": {
@@ -61,7 +97,8 @@ def convert_dinov2_vit(state: Mapping, depth: int = 12,
         "norm": _layernorm(state, "norm"),
     }
     pos = _np(state["pos_embed"]).astype(np.float32)  # (1, 1+P, D)
-    params["pos_embed"] = pos[:, 1:]  # drop the cls row; ours is patch-only
+    # drop the cls row (ours is patch-only), resample to the model grid
+    params["pos_embed"] = interpolate_pos_embed(pos[:, 1:], grid_size)
     for i in range(depth):
         b = f"blocks.{i}"
         params[f"block{i}"] = {
@@ -85,7 +122,8 @@ def convert_dinov2_vit(state: Mapping, depth: int = 12,
     return params
 
 
-def load_dinov2_from_torch_file(path: str, depth: int = 12) -> dict:
+def load_dinov2_from_torch_file(path: str, depth: int = 12,
+                                grid_size: int = 16) -> dict:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -95,4 +133,9 @@ def load_dinov2_from_torch_file(path: str, depth: int = 12) -> dict:
     for key in ("model", "teacher"):
         if key in obj and isinstance(obj[key], dict):
             obj = obj[key]
-    return convert_dinov2_vit(obj, depth=depth)
+    # FeatUp hub checkpoints prefix the backbone under 'model.model.'
+    prefixed = {k for k in obj if k.startswith("model.model.")}
+    if prefixed:
+        obj = {k[len("model.model."):]: v for k, v in obj.items()
+               if k.startswith("model.model.")}
+    return convert_dinov2_vit(obj, depth=depth, grid_size=grid_size)
