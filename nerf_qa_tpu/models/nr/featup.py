@@ -7,106 +7,129 @@ and a JBU upsampler stack: four chained 2x guided upsamplings
 applied at every level, producing the 6-level semantic pyramid
 [16², 32², 64², 128², 256², 256²] consumed by the RefineUp decoder.
 
-This is a from-scratch JBU: for each hi-res pixel, a k x k neighborhood of
-the low-res source is blended with weights = (learned-σ spatial Gaussian)
-× (range kernel over projected guidance similarity). All gathers are
-static shifted slices (TPU-friendly); the 2x ratio means the shifted
-low-res terms upsample to target by a nearest reshape-tile, so the whole
-op is elementwise + static slicing — XLA fuses it into a few passes.
+This mirrors FeatUp's ``JBULearnedRange`` math exactly so real hub
+checkpoints convert faithfully (compat.torch_featup):
+
+* guidance for each stage = adaptive-avg-pooled input image at 2x the
+  source grid (FeatUp ``JBUStack.upsample``),
+* range kernel = softmax over the 7x7 neighborhood of
+  ``exp(range_temp) * <proj(g), proj(g_shifted)>`` where ``proj`` is a
+  learned Conv1x1 -> GELU -> Dropout2d(0.1) -> Conv1x1 stack,
+* spatial kernel = Gaussian over a [-1,1]-normalized 7x7 offset grid
+  with learned ``sigma_spatial``,
+* the combined normalized kernel adaptively filters the bicubically
+  2x-upsampled source (reflect padding, as FeatUp's AdaptiveConv).
+
+TPU design: all gathers are static shifted slices of the padded arrays
+(49 shifts), the bicubic/pooling resamplers are MXU matmuls, everything
+else is elementwise — XLA fuses the kernel computation into a few passes.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-
-def _nearest_2x(x: jax.Array) -> jax.Array:
-    n, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
-    return x.reshape(n, h * 2, w * 2, c)
-
-
-def _avgpool_to(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Average-pool guidance down to the source grid (integer factor)."""
-    n, h, w, c = x.shape
-    fh, fw = h // out_h, w // out_w
-    x = x[:, : out_h * fh, : out_w * fw]
-    x = x.reshape(n, out_h, fh, out_w, fw, c).mean(axis=(2, 4))
-    return x
+from nerf_qa_tpu.models.nr.layers import Dropout2d
+from nerf_qa_tpu.ops.resize import adaptive_avg_pool, resize_bicubic
 
 
 class JBU(nn.Module):
-    """One learned 2x joint-bilateral upsampling stage."""
+    """One learned 2x joint-bilateral upsampling stage
+    (FeatUp ``JBULearnedRange(guidance_dim=3, feat_dim, key_dim=32,
+    radius=3)``)."""
 
     dim: int
-    guidance_dim: int = 32
-    radius: int = 1  # 3x3 low-res neighborhood
+    guidance_dim: int = 3
+    key_dim: int = 32
+    radius: int = 3
 
     @nn.compact
-    def __call__(self, source: jax.Array, image: jax.Array) -> jax.Array:
-        """source: (N, h, w, C); image: (N, H, W, 3) full-res guidance.
-        Returns (N, 2h, 2w, C)."""
+    def __call__(self, source: jax.Array, guidance: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        """source: (N, h, w, C); guidance: (N, 2h, 2w, guidance_dim)
+        already pooled to the target grid. Returns (N, 2h, 2w, C)."""
         n, h, w, c = source.shape
-        th, tw = h * 2, w * 2
-        # guidance at target and source resolutions, projected; bilinear
-        # resize (target may exceed the guidance image, e.g. 256 > 224)
-        from nerf_qa_tpu.ops.resize import resize_bilinear
-
-        g_proj = nn.Conv(self.guidance_dim, (1, 1), name="range_proj")
-        g_hi = g_proj(resize_bilinear(image, th, tw))
-        g_lo = _avgpool_to(g_hi, h, w)
-
-        log_sigma_sp = self.param(
-            "log_sigma_spatial", nn.initializers.zeros, ()
-        )
-        log_sigma_rg = self.param(
-            "log_sigma_range", nn.initializers.zeros, ()
-        )
-        inv2_sp = 0.5 * jnp.exp(-2.0 * log_sigma_sp)
-        inv2_rg = 0.5 * jnp.exp(-2.0 * log_sigma_rg)
-
+        gh, gw = guidance.shape[1:3]
         r = self.radius
-        pad = ((0, 0), (r, r), (r, r), (0, 0))
-        src_p = jnp.pad(source, pad, mode="edge")
-        glo_p = jnp.pad(g_lo, pad, mode="edge")
+        d = 2 * r + 1
 
-        num = jnp.zeros((n, th, tw, c), source.dtype)
-        den = jnp.zeros((n, th, tw, 1), source.dtype)
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                src_n = _nearest_2x(
-                    jax.lax.dynamic_slice(src_p, (0, r + dy, r + dx, 0),
-                                          (n, h, w, c))
+        # learned range projection (FeatUp range_proj Sequential:
+        # Conv1x1 -> GELU -> Dropout2d(0.1) -> Conv1x1)
+        k = nn.Conv(self.key_dim, (1, 1), name="range_proj_in")(guidance)
+        k = nn.gelu(k)
+        k = Dropout2d(0.1)(k, deterministic)
+        proj = nn.Conv(self.key_dim, (1, 1), name="range_proj_out")(k)
+
+        range_temp = self.param("range_temp", nn.initializers.zeros, ())
+        sigma_spatial = self.param(
+            "sigma_spatial", nn.initializers.ones, ()
+        )
+        temp = jnp.clip(jnp.exp(range_temp), 1e-4, 1e4)
+
+        pad = ((0, 0), (r, r), (r, r), (0, 0))
+        proj_p = jnp.pad(proj, pad, mode="reflect")
+        hr = resize_bicubic(source, gh, gw)
+        hr_p = jnp.pad(hr, pad, mode="reflect")
+
+        # spatial Gaussian over the [-1,1]-normalized offset grid
+        # (FeatUp get_spatial_kernel: linspace(-1,1,diameter) meshgrid)
+        offs = np.linspace(-1.0, 1.0, d, dtype=np.float32)
+        sq = offs[:, None] ** 2 + offs[None, :] ** 2  # (d, d)
+        spatial = jnp.exp(
+            -jnp.asarray(sq.reshape(-1)) / (2.0 * sigma_spatial**2)
+        )  # (d*d,)
+
+        # range logits for every shift: <proj(center), proj(shifted)>
+        logits = []
+        for dy in range(d):
+            for dx in range(d):
+                shifted = jax.lax.dynamic_slice(
+                    proj_p, (0, dy, dx, 0), (n, gh, gw, self.key_dim)
                 )
-                g_n = _nearest_2x(
-                    jax.lax.dynamic_slice(glo_p, (0, r + dy, r + dx, 0),
-                                          (n, h, w, self.guidance_dim))
-                )
-                dist2 = jnp.sum(jnp.square(g_hi - g_n), axis=-1,
-                                keepdims=True)
-                wgt = jnp.exp(
-                    -(dy * dy + dx * dx) * inv2_sp - dist2 * inv2_rg
-                )
-                num = num + src_n * wgt
-                den = den + wgt
-        return num / (den + 1e-8)
+                logits.append(jnp.sum(shifted * proj, axis=-1))
+        logits = jnp.stack(logits, axis=-1)  # (N, gh, gw, d*d)
+        range_k = jax.nn.softmax(temp * logits, axis=-1)
+        combined = range_k * spatial
+        combined = combined / jnp.clip(
+            combined.sum(axis=-1, keepdims=True), 1e-7
+        )
+
+        # adaptive filtering of the bicubic-upsampled source
+        out = jnp.zeros((n, gh, gw, c), jnp.float32)
+        for p in range(d * d):
+            dy, dx = p // d, p % d
+            src_n = jax.lax.dynamic_slice(
+                hr_p, (0, dy, dx, 0), (n, gh, gw, c)
+            )
+            out = out + src_n * combined[..., p : p + 1]
+        return out
 
 
 class JBUStack(nn.Module):
     """Four chained JBU stages + fixup projection, producing the 6-level
-    semantic pyramid (model_nr_v8.py:121-132)."""
+    semantic pyramid (model_nr_v8.py:121-132). Matches FeatUp's JBUStack:
+    per-stage guidance = adaptive_avg_pool2d(image, 2x source grid);
+    fixup_proj = Dropout2d(0.2) -> Conv1x1, applied at every level with a
+    0.1 residual (the reference applies it per level, model_nr_v8.py:
+    126-131)."""
 
     dim: int
 
     @nn.compact
-    def __call__(self, feats: jax.Array, image: jax.Array) -> list[jax.Array]:
-        f1 = feats
-        f2 = JBU(self.dim, name="up1")(f1, image)
-        f4 = JBU(self.dim, name="up2")(f2, image)
-        f8 = JBU(self.dim, name="up3")(f4, image)
-        f16 = JBU(self.dim, name="up4")(f8, image)
+    def __call__(self, feats: jax.Array, image: jax.Array,
+                 deterministic: bool = True) -> list[jax.Array]:
         fixup = nn.Conv(self.dim, (1, 1), name="fixup_proj")
-        levels = [f1, f2, f4, f8, f16]
-        levels = [fixup(f) * 0.1 + f for f in levels]
+        drop = Dropout2d(0.2)
+        levels = [feats]
+        f = feats
+        for i in range(1, 5):
+            h, w = f.shape[1:3]
+            g = adaptive_avg_pool(image, h * 2, w * 2)
+            f = JBU(self.dim, name=f"up{i}")(f, g, deterministic)
+            levels.append(f)
+        levels = [
+            fixup(drop(x, deterministic)) * 0.1 + x for x in levels
+        ]
         return levels + [levels[-1]]
