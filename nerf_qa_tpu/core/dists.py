@@ -59,8 +59,15 @@ def load_pretrained_weights(cfg: DISTSConfig = DISTSConfig(),
     (DISTS_pt_softmax.py:70-78).
     """
     data = np.load(path or _ASSET_PATH)
-    alpha = np.asarray(data["alpha"], np.float32).reshape(-1)
-    beta = np.asarray(data["beta"], np.float32).reshape(-1)
+    return weights_from_arrays(data["alpha"], data["beta"], cfg)
+
+
+def weights_from_arrays(alpha, beta,
+                        cfg: DISTSConfig = DISTSConfig()) -> DISTSWeights:
+    """Build DISTSWeights from raw α/β arrays, applying the variant's
+    load-time transform (clamps for 'original', logits for 'softmax')."""
+    alpha = np.asarray(alpha, np.float32).reshape(-1)
+    beta = np.asarray(beta, np.float32).reshape(-1)
     if cfg.variant == "original":
         lb = cfg.weight_lower_bound
         alpha = np.maximum(alpha, lb * cfg.alpha_beta_ratio)

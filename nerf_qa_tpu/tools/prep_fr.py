@@ -18,9 +18,13 @@ import os
 import numpy as np
 import pandas as pd
 
+from nerf_qa_tpu.compat.pretrained import (
+    add_backbone_args,
+    resolve_dists_weights,
+    resolve_vgg_params,
+)
 from nerf_qa_tpu.config import ADISTSConfig, DISTSConfig
 from nerf_qa_tpu.core import adists, dists
-from nerf_qa_tpu.core.vgg import init_vgg16_params
 from nerf_qa_tpu.data.imaging import load_image_rgb, resize_image, resize_shortest_side
 
 POLICIES = ("aspect", "square", "full_size", "pixel_count")
@@ -44,12 +48,13 @@ def apply_policy(img: np.ndarray, policy: str) -> np.ndarray:
 class PairScorer:
     """Shape-bucketed jitted DISTS/ADISTS pair scorer."""
 
-    def __init__(self, compute_dtype="bfloat16", with_adists=True):
+    def __init__(self, compute_dtype="bfloat16", with_adists=True,
+                 vgg_ckpt=None, dists_weights=None):
         import jax
 
-        self.vgg_params = init_vgg16_params(seed=0)
-        self.weights = dists.load_pretrained_weights()
         self.dcfg = DISTSConfig(compute_dtype=compute_dtype)
+        self.vgg_params = resolve_vgg_params(vgg_ckpt, seed=0)
+        self.weights = resolve_dists_weights(self.dcfg, dists_weights)
         self.acfg = ADISTSConfig(compute_dtype=compute_dtype)
         self.with_adists = with_adists
 
@@ -114,10 +119,13 @@ def main(argv=None):
     p.add_argument("--no-adists", action="store_true")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--output-csv", default=None)
+    add_backbone_args(p)
     args = p.parse_args(argv)
 
     df = pd.read_csv(args.scores_csv)
-    scorer = PairScorer(args.compute_dtype, with_adists=not args.no_adists)
+    scorer = PairScorer(args.compute_dtype, with_adists=not args.no_adists,
+                        vgg_ckpt=args.vgg_ckpt,
+                        dists_weights=args.dists_weights)
     rows = []
     for _, row in df.iterrows():
         ref_dir = os.path.join(args.data_dir, "Reference", row["reference_folder"])

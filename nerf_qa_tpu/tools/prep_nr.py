@@ -109,9 +109,14 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--score-maps", action="store_true")
     p.add_argument("--compute-dtype", default="bfloat16")
+    from nerf_qa_tpu.compat.pretrained import add_backbone_args
+
+    add_backbone_args(p)
     args = p.parse_args(argv)
 
-    scorer = PairScorer(args.compute_dtype, with_adists=False)
+    scorer = PairScorer(args.compute_dtype, with_adists=False,
+                        vgg_ckpt=args.vgg_ckpt,
+                        dists_weights=args.dists_weights)
     rows = []
     for scene, method, color_dir, gt_dir in walk_render_tree(args.data_dir):
         names, scores = compute_frame_scores(scorer, color_dir, gt_dir,

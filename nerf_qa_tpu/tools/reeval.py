@@ -17,9 +17,9 @@ from nerf_qa_tpu.compat.checkpoint import (
     convert_fr_head_from_torch,
     restore_checkpoint,
 )
+from nerf_qa_tpu.compat.pretrained import add_backbone_args, resolve_vgg_params
 from nerf_qa_tpu.config import DISTSConfig, FRModelConfig
 from nerf_qa_tpu.core import dists
-from nerf_qa_tpu.core.vgg import init_vgg16_params
 from nerf_qa_tpu.data.factories import create_test2_dataloader
 from nerf_qa_tpu.logging.metrics import MetricCollectionLogger
 from nerf_qa_tpu.tools.run_fr import label_scene_types
@@ -57,6 +57,7 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--output-csv", default="results_reeval.csv")
     p.add_argument("--compute-dtype", default="bfloat16")
+    add_backbone_args(p)
     args = p.parse_args(argv)
 
     cfg = FRModelConfig(
@@ -66,7 +67,7 @@ def main(argv=None):
     )
     params = load_params(args.checkpoint, cfg)
     scores_df = label_scene_types(pd.read_csv(args.scores_csv))
-    trainer = FRTrainer(init_vgg16_params(seed=0), cfg)
+    trainer = FRTrainer(resolve_vgg_params(args.vgg_ckpt, seed=0), cfg)
     loader = create_test2_dataloader(scores_df, args.data_dir,
                                      batch_size=args.batch_size,
                                      scene_balanced=False)
