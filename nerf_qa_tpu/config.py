@@ -52,6 +52,13 @@ class ADISTSConfig:
 
     window_size: int = 21
     compute_dtype: str = "float32"
+    # full-resolution execution knobs (no reference equivalent): stages
+    # with more than block_pixels_threshold pixels process their windowed
+    # statistics in channel blocks under lax.scan so the VALID moment
+    # maps never materialize at full channel width (at 1080p one fp32
+    # stage-1 moment buffer is ~0.5 GB; five are live at once unblocked)
+    block_pixels_threshold: int = 448 * 448
+    channel_block: int = 16
 
     def replace(self, **kw) -> "ADISTSConfig":
         return dataclasses.replace(self, **kw)
@@ -104,7 +111,31 @@ class NRModelConfig:
     # re-encode the predicted image through the frozen pyramid and pull
     # the predicted features toward it. 0 = off (v8 default).
     re_encode_coeff: float = 0.0
+    # score-map objective weight (mode='score-map' batches: predicted
+    # ADISTS map vs the decoded -log10 map, nerf_nr_qa_prep_4.py:101-135)
+    score_map_coeff: float = 1.0
+    # TPU execution knobs (no reference equivalent)
+    decoder_dtype: str = "float32"  # 'bfloat16': MXU-rate decoder convs
+    # with fp32 master params/optimizer state (weights cast at use)
+    remat: bool = False  # jax.checkpoint each RefineUp stage (trades
+    # recompute for activation memory -> larger batches)
     dists: DISTSConfig = field(default_factory=DISTSConfig)
+
+    @property
+    def reg_channels(self) -> int:
+        """Effective score-regression channel count: explicit override or
+        the version's canonical head (v3/v4: 1, model_nr_v3.py:229-232 /
+        model_nr_v4.py:179-188; v5: 2, model_nr_v5.py:163-166; v6: 4,
+        model_nr_v6.py:167-170; otherwise none)."""
+        if self.score_reg_channels > 0:
+            return self.score_reg_channels
+        return {3: 1, 4: 1, 5: 2, 6: 4}.get(self.version, 0)
+
+    @property
+    def norm_type(self) -> str:
+        """BatchNorm+ReLU blocks for v1-v6, ChannelNorm+GELU for v7/v8
+        (model_nr_v7.py:18-51 swap)."""
+        return "channel" if self.version >= 7 else "batch"
 
     def replace(self, **kw) -> "NRModelConfig":
         return dataclasses.replace(self, **kw)

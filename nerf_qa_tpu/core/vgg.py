@@ -97,6 +97,32 @@ def normalize_imagenet(x: jax.Array) -> jax.Array:
     return (x - mean) / std
 
 
+def vgg_stage_apply(
+    params: Params,
+    stage_idx: int,
+    x: jax.Array,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Apply one frozen VGG stage (1-based). Stages 2-5 start with the
+    anti-aliased L2 pool that replaces MaxPool (DISTS_pt.py:38-49).
+
+    Used standalone by the NR v3 RefineDown re-encoding cascade
+    (model_nr_v3.py:215-221 hands dists.stage1..stage5 to RefineDown)."""
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    h = x.astype(jnp.float32)
+    if stage_idx > 1:
+        h = l2pool(h, precision=precision)
+    h = h.astype(compute_dtype)
+    for layer in params[f"stage{stage_idx}"]:
+        h = _conv_relu(h, layer["kernel"], layer["bias"], compute_dtype)
+    return h
+
+
 def vgg16_pyramid(
     params: Params,
     x: jax.Array,

@@ -17,19 +17,24 @@ from flax import linen as nn
 
 class ChannelNorm(nn.Module):
     """LayerNorm over the channel axis at every spatial position
-    (FeatUp's ChannelNorm; used by model_nr_v8.py:22,40)."""
+    (FeatUp's ChannelNorm; used by model_nr_v8.py:22,40).
+
+    Statistics always accumulate in fp32 (bf16 mean/var loses the
+    DISTS-relevant precision); output returns in the input dtype."""
 
     features: int
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        mean = x.mean(axis=-1, keepdims=True)
-        var = jnp.square(x - mean).mean(axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = jnp.square(xf - mean).mean(axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return y * scale + bias
+        return (y * scale + bias).astype(in_dtype)
 
 
 class Dropout2d(nn.Module):
@@ -59,17 +64,20 @@ class ConvLayer(nn.Module):
     activation: bool = True
     dropout_rate: float = 0.0
     norm_type: str = "channel"
+    dtype: jnp.dtype = jnp.float32  # bf16 computation, fp32 params
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = Dropout2d(self.dropout_rate)(x, deterministic)
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = Dropout2d(self.dropout_rate)(x.astype(self.dtype), deterministic)
+        x = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
         if self.norm_type == "channel":
             x = ChannelNorm(self.features)(x)
             if self.activation:
                 x = nn.gelu(x)
         else:
-            x = nn.BatchNorm(use_running_average=deterministic)(x)
+            x = nn.BatchNorm(use_running_average=deterministic,
+                             dtype=self.dtype)(x)
             if self.activation:
                 x = nn.relu(x)
         return x
@@ -83,21 +91,23 @@ class ConvTransposeLayer(nn.Module):
     activation: bool = False
     dropout_rate: float = 0.0
     norm_type: str = "channel"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = Dropout2d(self.dropout_rate)(x, deterministic)
+        x = Dropout2d(self.dropout_rate)(x.astype(self.dtype), deterministic)
         # torch ConvTranspose2d(3, stride 2, pad 1, out_pad 1) == exact 2x;
         # flax ConvTranspose with SAME padding and stride 2 matches the
         # output geometry (H*2, W*2).
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding="SAME")(x)
+                             padding="SAME", dtype=self.dtype)(x)
         if self.norm_type == "channel":
             x = ChannelNorm(self.features)(x)
             if self.activation:
                 x = nn.gelu(x)
         else:
-            x = nn.BatchNorm(use_running_average=deterministic)(x)
+            x = nn.BatchNorm(use_running_average=deterministic,
+                             dtype=self.dtype)(x)
             if self.activation:
                 x = nn.relu(x)
         return x
@@ -108,12 +118,13 @@ class Mlp(nn.Module):
 
     hidden: int
     out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x)
-        x = nn.Dense(self.out)(x)
+        x = nn.Dense(self.out, dtype=self.dtype)(x)
         return x
 
 
@@ -142,12 +153,13 @@ class Attention(nn.Module):
 
     dim: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3)(x)
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,H,D)
         q = jnp.swapaxes(q, 1, 2)  # (B,H,N,D)
@@ -157,11 +169,11 @@ class Attention(nn.Module):
             "bhnd,bhmd->bhnm", q * (head_dim**-0.5), k,
             preferred_element_type=jnp.float32,
         )
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(self.dtype),
                          preferred_element_type=jnp.float32)
         out = jnp.swapaxes(out, 1, 2).reshape(b, n, c)
-        return nn.Dense(self.dim)(out)
+        return nn.Dense(self.dim, dtype=self.dtype)(out.astype(self.dtype))
 
 
 class TransformerBlock(nn.Module):
@@ -173,13 +185,15 @@ class TransformerBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     layer_scale_init: float = 1.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm()(x)
-        h = Attention(self.dim, self.num_heads)(h)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype)(h)
         x = x + LayerScale(self.dim, self.layer_scale_init)(h)
         h = nn.LayerNorm()(x)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim)(h)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                dtype=self.dtype)(h)
         x = x + LayerScale(self.dim, self.layer_scale_init)(h)
         return x

@@ -25,9 +25,16 @@ from nerf_qa_tpu.compat.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from nerf_qa_tpu.compat.pretrained import (
+    add_backbone_args,
+    resolve_dists_weights,
+    resolve_jbu_params,
+    resolve_vgg_params,
+    resolve_vit_params,
+)
 from nerf_qa_tpu.config import DISTSConfig, NRModelConfig, TrainConfig
-from nerf_qa_tpu.core.vgg import init_vgg16_params
 from nerf_qa_tpu.data.factories import create_nr_dataloader
+from nerf_qa_tpu.data.pipeline import device_prefetch
 from nerf_qa_tpu.eval.correlations import compute_correlations
 from nerf_qa_tpu.logging.metrics import MetricAggregator, jsonl_sink
 from nerf_qa_tpu.models.nr.model import NRModel
@@ -65,11 +72,26 @@ def build_parser() -> argparse.ArgumentParser:
     # data / IO
     p.add_argument("--data-dir", required=True)
     p.add_argument("--scores-csv", required=True)
+    p.add_argument("--mode", default="gt", choices=["gt", "score-map"],
+                   help="gt: self-supervised DISTS objective "
+                        "(train-nr.py); score-map: additionally supervise "
+                        "the predicted ADISTS map against prep_nr's "
+                        "-log10 score maps (nerf_nr_qa_prep_4.py:101-135)")
+    p.add_argument("--score-map-coeff", type=float, default=1.0)
     p.add_argument("--holdout-scenes", nargs="*", default=[])
     p.add_argument("--blacklist-methods", nargs="*", default=[])
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--output-dir", default="./nr_runs")
     p.add_argument("--test-every", type=int, default=5)
+    # NeRF-QA video-level benchmark (train-nr.py:299-375): every
+    # --test-every epochs score whole benchmark videos and report
+    # PLCC/SRCC/KTCC vs MOS and DMOS for syn/tnt/all subsets
+    p.add_argument("--test-scores-csv", default=None,
+                   help="NeRF-QA benchmark CSV (reference_filename, "
+                        "distorted_filename, MOS, DMOS[, DISTS])")
+    p.add_argument("--test-data-dir", default=None,
+                   help="benchmark video root (mp4s or frame dirs)")
+    p.add_argument("--test-max-frames", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--compute-dtype", default="bfloat16",
@@ -78,6 +100,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DISTS input side; must satisfy "
                         "render_size/16 == sem_size/14")
     p.add_argument("--sem-size", type=int, default=224)
+    add_backbone_args(p)
     return p
 
 
@@ -107,35 +130,47 @@ def main(argv=None):
         refine_scale3=args.refine_scale3,
         refine_scale4=args.refine_scale4,
         dists_pref2ref_coeff=args.dists_pref2ref_coeff,
+        score_map_coeff=args.score_map_coeff,
         dists=DISTSConfig(compute_dtype=args.compute_dtype),
     )
     from nerf_qa_tpu.models.nr.vit import ViTS14
 
-    model = NRModel(init_vgg16_params(seed=args.seed), cfg=cfg,
-                    vit=ViTS14(depth=args.vit_depth),
-                    render_size=args.render_size, sem_size=args.sem_size)
+    model = NRModel(
+        resolve_vgg_params(args.vgg_ckpt, seed=args.seed),
+        dists_weights=resolve_dists_weights(cfg.dists, args.dists_weights),
+        cfg=cfg,
+        vit=ViTS14(depth=args.vit_depth),
+        vit_params=resolve_vit_params(
+            args.vit_ckpt, depth=args.vit_depth,
+            grid_size=args.sem_size // 14,
+        ),
+        jbu_params=(resolve_jbu_params(args.jbu_ckpt)
+                    if args.version >= 7 else None),
+        render_size=args.render_size, sem_size=args.sem_size,
+    )
     train_cfg = TrainConfig(
         lr=args.lr, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         epochs=args.epochs, batch_size=args.batch_size,
         schedule="constant", seed=args.seed,
     )
     loader = create_nr_dataloader(
-        train_df, args.data_dir, mode="gt", is_train=True,
+        train_df, args.data_dir, mode=args.mode, is_train=True,
         batch_size=args.batch_size, num_workers=args.num_workers,
         seed=args.seed, aug_crop_scale=args.aug_crop_scale,
         aug_rot_deg=args.aug_rot_deg,
         render_size=args.render_size, sem_size=args.sem_size,
     )
     trainer = NRTrainer(model, train_cfg, steps_per_epoch=max(1, len(loader)))
-    params, opt_state, rng = trainer.init()
+    params, state, opt_state, rng = trainer.init()
 
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
     start_epoch = 0
     if args.resume:
         restored = restore_checkpoint(ckpt_dir)
         if restored:
-            start_epoch, state = restored
-            params, opt_state = state["params"], state["opt_state"]
+            start_epoch, ckpt = restored
+            params, opt_state = ckpt["params"], ckpt["opt_state"]
+            state = ckpt.get("state", state)
             print(f"resumed from epoch {start_epoch}")
     saver = PreemptionSaver(ckpt_dir, interval=None)
 
@@ -146,21 +181,36 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         if hasattr(loader.sampler, "set_epoch"):
             loader.sampler.set_epoch(epoch)
-        for batch in loader:
+        # double-buffered H2D: batches are already device-resident when
+        # the jitted step dequeues them (decode/transfer overlap compute)
+        for batch in device_prefetch(loader, buffer_size=2):
             gt, render = batch[0], batch[1]
             with record_function("model_inference"):
-                params, opt_state, losses, rng = trainer.train_step(
-                    params, opt_state, gt, render["256x256"],
-                    render["224x224"], rng,
-                )
+                if args.mode == "score-map":
+                    # (gt, render, score_map, vid, frame) batches
+                    params, state, opt_state, losses, rng = \
+                        trainer.train_step_score_map(
+                            params, state, opt_state, gt,
+                            render["256x256"], render["224x224"],
+                            batch[2], rng,
+                        )
+                else:
+                    score_std = batch[2] if len(batch) > 2 else None
+                    score_mean = batch[3] if len(batch) > 3 else None
+                    params, state, opt_state, losses, rng = \
+                        trainer.train_step(
+                            params, state, opt_state, gt,
+                            render["256x256"], render["224x224"], rng,
+                            score_std, score_mean,
+                        )
             agg.add({k: float(v) for k, v in losses.items()})
             timer.tick()
         logs = agg.log_summary(epoch)
         print(f"epoch {epoch}: {logs}  ({timer.rate(args.batch_size):.1f} fr/s)")
+        ckpt = {"params": params, "state": state, "opt_state": opt_state}
         if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
-            save_checkpoint(ckpt_dir, epoch + 1,
-                            {"params": params, "opt_state": opt_state})
-        saver.maybe_save(epoch + 1, {"params": params, "opt_state": opt_state})
+            save_checkpoint(ckpt_dir, epoch + 1, ckpt)
+        saver.maybe_save(epoch + 1, ckpt)
 
         if len(val_df) and (epoch + 1) % args.test_every == 0:
             val_loader = create_nr_dataloader(
@@ -172,7 +222,7 @@ def main(argv=None):
             for batch in val_loader:
                 gt, render, _, dists_mean, vid = batch[:5]
                 scores = trainer.score_frames(
-                    params, render["256x256"], render["224x224"]
+                    params, state, render["256x256"], render["224x224"]
                 )
                 for v, s, t in zip(np.asarray(vid), scores,
                                    np.asarray(dists_mean)):
@@ -186,8 +236,28 @@ def main(argv=None):
                 val_agg.add(corr)
             print("val:", val_agg.log_summary(epoch))
 
+        if args.test_scores_csv and args.test_data_dir and \
+                (epoch + 1) % args.test_every == 0:
+            from nerf_qa_tpu.eval.nr_benchmark import (
+                benchmark_report,
+                score_benchmark_videos,
+            )
+
+            test_df = pd.read_csv(args.test_scores_csv)
+            scores = score_benchmark_videos(
+                lambda a, b: trainer.score_video(params, state, a, b,
+                                                 args.batch_size),
+                test_df, args.test_data_dir, args.test_max_frames,
+                args.render_size, args.sem_size,
+            )
+            report = benchmark_report(test_df, scores)
+            sink({f"Test Metrics Dict/{k}": v for k, v in report.items()},
+                 epoch)
+            print("test:", {k: round(v, 4) for k, v in report.items()})
+
     save_checkpoint(ckpt_dir, args.epochs,
-                    {"params": params, "opt_state": opt_state})
+                    {"params": params, "state": state,
+                     "opt_state": opt_state})
     with open(os.path.join(args.output_dir, "config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
 

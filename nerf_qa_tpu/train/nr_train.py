@@ -61,81 +61,143 @@ class NRTrainer:
         )
         self._train_step = self._build_train_step()
         self._score_step = self._build_score_step()
+        self._train_step_sm = None  # built lazily (mode='score-map')
 
     def _build_train_step(self):
         model = self.model
 
-        def step(params, opt_state, gt, render_256, render_224, rng):
+        def step(params, state, opt_state, gt, render_256, render_224,
+                 rng, score_std, score_mean):
             rng, sub = jax.random.split(rng)
 
             def loss_fn(p):
-                losses = model.losses(p, gt, render_256, render_224, rng=sub)
-                return losses["combined"], losses
+                losses, new_state = model.losses(
+                    p, gt, render_256, render_224, rng=sub,
+                    score_std=score_std, score_mean=score_mean, state=state,
+                )
+                return losses["combined"], (losses, new_state)
 
-            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (_, (losses, state_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, losses, rng
+            return params, state_out, opt_state, losses, rng
 
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
             return jax.jit(
                 step,
-                in_shardings=(rsh, rsh, dsh, dsh, dsh, rsh),
-                out_shardings=(rsh, rsh, rsh, rsh),
+                in_shardings=(rsh, rsh, rsh, dsh, dsh, dsh, rsh, dsh, dsh),
+                out_shardings=(rsh, rsh, rsh, rsh, rsh),
             )
         return jax.jit(step)
 
-    def _build_score_step(self):
+    def _build_train_step_sm(self):
+        """Score-map objective step (mode='score-map' batches: gt, render
+        dict, decoded -log10 ADISTS map)."""
         model = self.model
 
-        def step(params, render_256, render_224):
-            return model.forward(params, render_256, render_224)
+        def step(params, state, opt_state, gt, render_256, render_224,
+                 score_map, rng):
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(p):
+                losses, new_state = model.losses(
+                    p, gt, render_256, render_224, rng=sub, state=state,
+                    score_map=score_map,
+                )
+                return losses["combined"], (losses, new_state)
+
+            (_, (losses, state_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, state_out, opt_state, losses, rng
 
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
-            return jax.jit(step, in_shardings=(rsh, dsh, dsh), out_shardings=dsh)
+            return jax.jit(
+                step,
+                in_shardings=(rsh, rsh, rsh, dsh, dsh, dsh, dsh, rsh),
+                out_shardings=(rsh, rsh, rsh, rsh, rsh),
+            )
+        return jax.jit(step)
+
+    def train_step_score_map(self, params, state, opt_state, gt,
+                             render_256, render_224, score_map, rng):
+        if self._train_step_sm is None:
+            self._train_step_sm = self._build_train_step_sm()
+        return self._train_step_sm(
+            params, state, opt_state,
+            jnp.asarray(gt), jnp.asarray(render_256), jnp.asarray(render_224),
+            jnp.asarray(score_map, jnp.float32), rng,
+        )
+
+    def _build_score_step(self):
+        model = self.model
+
+        def step(params, state, render_256, render_224):
+            return model.forward(params, render_256, render_224, state=state)
+
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            rsh = meshlib.replicated(self.mesh)
+            return jax.jit(step, in_shardings=(rsh, rsh, dsh, dsh),
+                           out_shardings=dsh)
         return jax.jit(step)
 
     def init(self, seed: int | None = None):
-        params = self.model.init(seed if seed is not None else self.train_cfg.seed)
+        """Returns (params, state, opt_state, rng) — state carries the
+        BatchNorm batch_stats of the v1-v6 generations ({} for v7/v8)."""
+        params, state = self.model.init(
+            seed if seed is not None else self.train_cfg.seed
+        )
         opt_state = self.optimizer.init(params)
         rng = jax.random.PRNGKey(self.train_cfg.seed)
         if self.mesh is not None:
             params = meshlib.replicate(self.mesh, params)
+            state = meshlib.replicate(self.mesh, state)
             opt_state = meshlib.replicate(self.mesh, opt_state)
-        return params, opt_state, rng
+        return params, state, opt_state, rng
 
-    def train_step(self, params, opt_state, gt, render_256, render_224, rng):
+    def train_step(self, params, state, opt_state, gt, render_256,
+                   render_224, rng, score_std=None, score_mean=None):
+        n = np.shape(gt)[0]
+        if score_std is None:
+            score_std = jnp.zeros((n,), jnp.float32)
+            score_mean = jnp.zeros((n,), jnp.float32)
         return self._train_step(
-            params, opt_state,
+            params, state, opt_state,
             jnp.asarray(gt), jnp.asarray(render_256), jnp.asarray(render_224),
-            rng,
+            rng, jnp.asarray(score_std, jnp.float32),
+            jnp.asarray(score_mean, jnp.float32),
         )
 
-    def train_epoch(self, params, opt_state, rng, batches: Iterable,
+    def train_epoch(self, params, state, opt_state, rng, batches: Iterable,
                     aggregator: MetricAggregator | None = None):
         """Batches of (gt_256, render_256, render_224[, ...])
         (train-nr.py:270-296 shape)."""
         for batch in batches:
             gt, r256, r224 = batch[:3]
-            params, opt_state, losses, rng = self.train_step(
-                params, opt_state, gt, r256, r224, rng
+            params, state, opt_state, losses, rng = self.train_step(
+                params, state, opt_state, gt, r256, r224, rng
             )
             if aggregator is not None:
                 aggregator.add({k: float(v) for k, v in losses.items()})
-        return params, opt_state, rng
+        return params, state, opt_state, rng
 
-    def score_frames(self, params, render_256, render_224) -> np.ndarray:
+    def score_frames(self, params, state, render_256, render_224) -> np.ndarray:
         return np.asarray(
             self._score_step(
-                params, jnp.asarray(render_256), jnp.asarray(render_224)
+                params, state, jnp.asarray(render_256), jnp.asarray(render_224)
             )
         )
 
-    def score_video(self, params, render_256, render_224,
+    def score_video(self, params, state, render_256, render_224,
                     batch_size: int = 4) -> float:
         """Mean frame score over a video (train-nr.py:305-315)."""
         n = render_256.shape[0]
@@ -147,6 +209,6 @@ class NRTrainer:
                 pad = batch_size - (hi - lo)
                 r256 = np.concatenate([r256, np.repeat(r256[-1:], pad, 0)])
                 r224 = np.concatenate([r224, np.repeat(r224[-1:], pad, 0)])
-            s = self.score_frames(params, r256, r224)
+            s = self.score_frames(params, state, r256, r224)
             scores.append(s[: hi - lo])
         return float(np.concatenate(scores).mean())

@@ -59,9 +59,9 @@ def test_encoder_pyramid_shapes(model, batch):
 
 def test_decoder_predicts_full_pyramid(model, batch):
     _, render, r224 = batch
-    params = model.init(seed=0)
+    params, state = model.init(seed=0)
     feats = model.encode(jnp.asarray(render), jnp.asarray(r224))
-    predicted = model.pred_gt_dists_feats(params, feats)
+    predicted = model.pred_gt_dists_feats(params, feats, state=state)
     assert len(predicted) == 6
     for p, f in zip(predicted, feats.dists_feats):
         assert p.shape == f.shape, (p.shape, f.shape)
@@ -69,17 +69,18 @@ def test_decoder_predicts_full_pyramid(model, batch):
 
 def test_nr_forward_score(model, batch):
     _, render, r224 = batch
-    params = model.init(seed=0)
-    score = model.forward(params, jnp.asarray(render), jnp.asarray(r224))
+    params, state = model.init(seed=0)
+    score = model.forward(params, jnp.asarray(render), jnp.asarray(r224),
+                          state=state)
     assert score.shape == (2,)
     assert np.isfinite(np.asarray(score)).all()
 
 
 def test_nr_losses_structure(model, batch):
     gt, render, r224 = batch
-    params = model.init(seed=0)
-    losses = model.losses(params, jnp.asarray(gt), jnp.asarray(render),
-                          jnp.asarray(r224))
+    params, state = model.init(seed=0)
+    losses, _ = model.losses(params, jnp.asarray(gt), jnp.asarray(render),
+                             jnp.asarray(r224), state=state)
     assert set(losses) == {"dists_pref2ref", "l1", "combined"}
     c = model.cfg.dists_pref2ref_coeff
     np.testing.assert_allclose(
@@ -93,11 +94,11 @@ def test_nr_training_reduces_loss(model, batch):
     gt, render, r224 = batch
     trainer = NRTrainer(model, TrainConfig(lr=3e-4, schedule="constant"),
                         steps_per_epoch=4)
-    params, opt_state, rng = trainer.init(seed=0)
+    params, state, opt_state, rng = trainer.init(seed=0)
     losses0 = None
     for i in range(4):
-        params, opt_state, losses, rng = trainer.train_step(
-            params, opt_state, gt, render, r224, rng
+        params, state, opt_state, losses, rng = trainer.train_step(
+            params, state, opt_state, gt, render, r224, rng
         )
         if i == 0:
             losses0 = {k: float(v) for k, v in losses.items()}
@@ -107,10 +108,11 @@ def test_nr_training_reduces_loss(model, batch):
 def test_nr_video_scoring(model, batch):
     _, render, r224 = batch
     trainer = NRTrainer(model, TrainConfig(), steps_per_epoch=1)
-    params, _, _ = trainer.init(seed=0)
+    params, state, _, _ = trainer.init(seed=0)
     frames_256 = np.repeat(render, 3, axis=0)[:5]
     frames_224 = np.repeat(r224, 3, axis=0)[:5]
-    v = trainer.score_video(params, frames_256, frames_224, batch_size=2)
+    v = trainer.score_video(params, state, frames_256, frames_224,
+                            batch_size=2)
     assert np.isfinite(v)
 
 
@@ -125,18 +127,18 @@ def test_scene_holdout_split():
 
 
 def test_version_config_older_generation():
-    """v1-v6 config point builds with BatchNorm blocks (init only —
-    batch_stats handled by the trainer for those versions)."""
-    cfg = NRModelConfig(version=6, transformer_decoder_depth=0)
+    """v1-v6 config point: init returns a batch_stats state that eval
+    consumes (the round-1 ScopeCollectionNotFound repro, fixed)."""
+    cfg = NRModelConfig(version=6, transformer_decoder_depth=0,
+                        dropout_rate=0.0)
     vgg = init_vgg16_params(seed=0)
     m = NRModel(vgg, cfg=cfg, render_size=R256, sem_size=R224,
                 vit=ViTS14(depth=1))
+    params, state = m.init(seed=0)
+    assert "batch_stats" in state
     rng = np.random.default_rng(1)
     r256 = rng.random((1, R256, R256, 3), dtype=np.float32)
     r224 = rng.random((1, R224, R224, 3), dtype=np.float32)
-    feats = m.encode(jnp.asarray(r256), jnp.asarray(r224))
-    variables = m.decoder.init(
-        jax.random.PRNGKey(0), feats.dists_feats, feats.sem_feats,
-        feats.sem_pyramid, True,
-    )
-    assert "params" in variables
+    score = m.forward(params, jnp.asarray(r256), jnp.asarray(r224),
+                      state=state)
+    assert np.isfinite(np.asarray(score)).all()
