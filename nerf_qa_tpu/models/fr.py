@@ -74,11 +74,18 @@ def init_params(
     train_dists_scores: np.ndarray,
     train_targets: np.ndarray,
     cfg: FRModelConfig = FRModelConfig(),
+    dists_weights: dists.DISTSWeights | None = None,
+    n_stats: int = 0,
 ) -> dict[str, Any]:
-    """Full trainable pytree: regression head + DISTS α/β."""
+    """Full trainable pytree: regression head + DISTS α/β (+ optional
+    video-stats head extension, run_test2_stats.py:122-135)."""
+    head = init_head_params(train_dists_scores, train_targets, cfg)
+    if n_stats > 0:
+        head.update(init_stats_head(n_stats))
     return {
-        "head": init_head_params(train_dists_scores, train_targets, cfg),
-        "dists": dists.load_pretrained_weights(cfg.dists),
+        "head": head,
+        "dists": dists_weights if dists_weights is not None
+        else dists.load_pretrained_weights(cfg.dists),
     }
 
 
@@ -102,13 +109,16 @@ def forward(
     dist_imgs: jax.Array,
     ref_imgs: jax.Array,
     cfg: FRModelConfig = FRModelConfig(),
+    stats: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """(mos_pred, dists_score) for NHWC image batches
-    (model_stats.py:92-102)."""
+    (model_stats.py:92-102). ``stats``: optional (N, n_stats) per-video
+    DISTS statistics features (run_test2_stats.py:195)."""
     dists_scores = dists.forward(
         vgg_params, params["dists"], dist_imgs, ref_imgs, cfg.dists
     )
-    return apply_head(params["head"], dists_scores, cfg), dists_scores
+    pred = apply_head_with_stats(params["head"], dists_scores, stats, cfg)
+    return pred, dists_scores
 
 
 def entropy_loss(

@@ -22,8 +22,12 @@ import numpy as np
 import pandas as pd
 
 from nerf_qa_tpu.compat.checkpoint import save_checkpoint
+from nerf_qa_tpu.compat.pretrained import (
+    add_backbone_args,
+    resolve_dists_weights,
+    resolve_vgg_params,
+)
 from nerf_qa_tpu.config import DISTSConfig, FRModelConfig, TrainConfig, from_args
-from nerf_qa_tpu.core.vgg import init_vgg16_params
 from nerf_qa_tpu.data.factories import (
     create_nerf_qa_resize_dataloader,
     create_test2_dataloader,
@@ -62,11 +66,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--entropy-loss-coeff", type=float, default=0.0)
     p.add_argument("--project-weights", action="store_true")
     p.add_argument("--head-lr-scale", type=float, default=1.0)
+    p.add_argument("--video-stats-cols", default="",
+                   help="comma-separated CSV columns of per-video DISTS "
+                        "statistics fed to the regression head, e.g. "
+                        "'DISTS_std,DISTS_min,DISTS_max' "
+                        "(run_test2_stats.py:122-135,195)")
     # data / IO
     p.add_argument("--data-dir", required=True)
     p.add_argument("--scores-csv", required=True)
     p.add_argument("--dataset", default="test2",
-                   choices=["test2", "nerf-qa-resized"])
+                   choices=["test2", "nerf-qa-resized", "large"])
+    # cross-dataset validation (run_test2.py:165-167 trains on Test2 and
+    # validates on Large)
+    p.add_argument("--val-dataset", default=None,
+                   choices=["test2", "nerf-qa-resized", "large"])
+    p.add_argument("--val-data-dir", default=None)
+    p.add_argument("--val-scores-csv", default=None)
     p.add_argument("--in-memory", action="store_true")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--output-dir", default="./fr_runs")
@@ -78,6 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad-accum-steps", type=int, default=0,
                    help="accumulate N micro-batch gradients per step "
                         "(run.py full-epoch accumulation style)")
+    add_backbone_args(p)
     return p
 
 
@@ -107,16 +123,34 @@ def make_sink(args, run_dir: str):
     return jsonl_sink(os.path.join(run_dir, "metrics.jsonl"))
 
 
-def make_loader(args, df, seed: int):
-    if args.dataset == "nerf-qa-resized":
+def make_loader(args, df, seed: int, dataset: str | None = None,
+                data_dir: str | None = None):
+    dataset = dataset or args.dataset
+    data_dir = data_dir or args.data_dir
+    if dataset == "nerf-qa-resized":
         return create_nerf_qa_resize_dataloader(
-            df, args.data_dir, batch_size=args.batch_size,
+            df, data_dir, batch_size=args.batch_size,
+            num_workers=args.num_workers, seed=seed,
+        )
+    if dataset == "large":
+        from nerf_qa_tpu.data.factories import create_large_qa_dataloader
+
+        return create_large_qa_dataloader(
+            df, data_dir, batch_size=args.batch_size,
             num_workers=args.num_workers, seed=seed,
         )
     return create_test2_dataloader(
-        df, args.data_dir, batch_size=args.batch_size,
+        df, data_dir, batch_size=args.batch_size,
         in_memory=args.in_memory, num_workers=args.num_workers, seed=seed,
     )
+
+
+def stats_lookup(df, cols: list[str]):
+    """{row index (video id): per-video stats vector} from CSV columns."""
+    return {
+        int(i): np.asarray([row[c] for c in cols], np.float32)
+        for i, row in df.reset_index(drop=True).iterrows()
+    }
 
 
 def run_fold(args, fold: int, train_df, test_df, run_dir: str):
@@ -139,20 +173,30 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
         project_weights=args.project_weights,
         grad_accum_steps=args.grad_accum_steps,
     )
-    train_loader = make_loader(args, train_df.reset_index(drop=True), args.seed)
+    train_df = train_df.reset_index(drop=True)
+    stats_cols = [c for c in args.video_stats_cols.split(",") if c]
+    train_loader = make_loader(args, train_df, args.seed)
     steps_per_epoch = max(1, len(train_loader))
-    vgg_params = init_vgg16_params(seed=args.seed)
+    vgg_params = resolve_vgg_params(args.vgg_ckpt, seed=args.seed)
+    dists_weights = resolve_dists_weights(model_cfg.dists, args.dists_weights)
     trainer = FRTrainer(vgg_params, model_cfg, train_cfg,
                         steps_per_epoch=steps_per_epoch,
-                        head_lr_scale=args.head_lr_scale)
-    # data-driven head init needs per-video DISTS values; compute them if
-    # the CSV doesn't carry a DISTS column (prep.py normally writes it)
+                        head_lr_scale=args.head_lr_scale,
+                        dists_weights=dists_weights,
+                        n_stats=len(stats_cols))
+    # data-driven head init needs per-video DISTS values; compute them
+    # with the pretrained metric when the CSV doesn't carry a DISTS
+    # column (prep.py normally writes it)
     if "DISTS" in train_df.columns:
         x = train_df["DISTS"].values
     else:
-        x = np.full(len(train_df), 0.25)
+        print("no DISTS column — scoring training videos for head init")
+        per_video = trainer.compute_dists_scores(iter(train_loader))
+        x = np.asarray([per_video.get(i, np.nan) for i in range(len(train_df))])
+        x = np.where(np.isnan(x), np.nanmean(x), x)
     y = train_df[args.subjective_score_type].values
     params, opt_state = trainer.init(x, y)
+    train_stats = stats_lookup(train_df, stats_cols) if stats_cols else None
 
     sink = make_sink(args, run_dir)
     train_logger = MetricCollectionLogger(f"Train Metrics Dict", log_fn=sink)
@@ -167,8 +211,13 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
         with record_function("train_epoch"):
             for batch in train_loader:
                 dist, ref, score, vid = batch[:4]
+                stats = None
+                if train_stats is not None:
+                    stats = np.stack([
+                        train_stats[int(v)] for v in np.asarray(vid)
+                    ])
                 params, opt_state, loss, aux = trainer.train_step(
-                    params, opt_state, dist, ref, score
+                    params, opt_state, dist, ref, score, stats=stats
                 )
                 pred, dscore, _ = aux
                 train_logger.add_entries(
@@ -189,8 +238,11 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
 
     # test: per-video scoring over the held-out fold (run_final.py:132-166)
     if len(test_df):
-        test_loader = make_loader(args, test_df.reset_index(drop=True), args.seed)
-        result = trainer.score_dataloader(params, iter(test_loader))
+        test_df = test_df.reset_index(drop=True)
+        test_loader = make_loader(args, test_df, args.seed)
+        test_stats = stats_lookup(test_df, stats_cols) if stats_cols else None
+        result = trainer.score_dataloader(params, iter(test_loader),
+                                          stats_of_video=test_stats)
         scene_of_test = dict(enumerate(test_df["scene"].tolist()))
         for vid, pred in result["pred_score"].items():
             test_logger.add_entries(
@@ -205,6 +257,34 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
         results_df = test_logger.video_metrics_df()
         results_df.to_csv(os.path.join(run_dir, f"results_{fold}.csv"))
         test_logger.log_summary(step)
+
+    # cross-dataset validation (run_test2.py:165-167: train Test2,
+    # validate Large)
+    if args.val_scores_csv and args.val_data_dir:
+        val_df = label_scene_types(pd.read_csv(args.val_scores_csv))
+        val_loader = make_loader(args, val_df, args.seed,
+                                 dataset=args.val_dataset or args.dataset,
+                                 data_dir=args.val_data_dir)
+        val_stats = stats_lookup(val_df, stats_cols) if stats_cols else None
+        result = trainer.score_dataloader(params, iter(val_loader),
+                                          stats_of_video=val_stats)
+        val_logger = MetricCollectionLogger("Validation Metrics Dict",
+                                            log_fn=sink)
+        scene_of_val = dict(enumerate(val_df["scene"].tolist()))
+        for vid, pred in result["pred_score"].items():
+            val_logger.add_entries(
+                {
+                    "pred_score": pred,
+                    "mos": float(val_df.iloc[int(vid)][args.subjective_score_type]),
+                    "dists_score": result["dists_score"][vid],
+                },
+                video_ids=int(vid),
+                scene_ids=scene_of_val.get(int(vid), "?"),
+            )
+        val_logger.video_metrics_df().to_csv(
+            os.path.join(run_dir, f"results_val_{fold}.csv")
+        )
+        val_logger.log_summary(step)
     save_checkpoint(os.path.join(run_dir, "ckpt"), fold, {"params": params})
     return params
 

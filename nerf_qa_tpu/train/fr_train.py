@@ -76,21 +76,29 @@ class FRTrainer:
         steps_per_epoch: int = 100,
         head_lr_scale: float = 1.0,
         mesh=None,
+        dists_weights: dists.DISTSWeights | None = None,
+        n_stats: int = 0,
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.mesh = mesh
         self.vgg_params = vgg_params
-        self.original_weights = dists.load_pretrained_weights(model_cfg.dists)
+        self.n_stats = n_stats
+        self.original_weights = (
+            dists_weights if dists_weights is not None
+            else dists.load_pretrained_weights(model_cfg.dists)
+        )
         self.optimizer = make_optimizer(train_cfg, steps_per_epoch, head_lr_scale)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._dists_step = self._build_dists_step()
 
     # -- step builders ---------------------------------------------------
     def loss_fn(self, params, dist_imgs, ref_imgs, targets,
-                sample_weights=None):
+                sample_weights=None, stats=None):
         pred, dists_score = fr.forward(
-            params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg
+            params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg,
+            stats=stats,
         )
         err = jnp.abs(pred - targets)
         if sample_weights is not None:
@@ -108,9 +116,9 @@ class FRTrainer:
 
     def _build_train_step(self):
         def step(params, opt_state, dist_imgs, ref_imgs, targets,
-                 sample_weights):
+                 sample_weights, stats):
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                params, dist_imgs, ref_imgs, targets, sample_weights
+                params, dist_imgs, ref_imgs, targets, sample_weights, stats
             )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -128,27 +136,52 @@ class FRTrainer:
             rsh = meshlib.replicated(self.mesh)
             return jax.jit(
                 step,
-                in_shardings=(rsh, rsh, dsh, dsh, dsh, dsh),
+                in_shardings=(rsh, rsh, dsh, dsh, dsh, dsh, dsh),
                 out_shardings=(rsh, rsh, rsh, (dsh, dsh, rsh)),
             )
         return jax.jit(step)
 
     def _build_eval_step(self):
-        def step(params, dist_imgs, ref_imgs):
+        def step(params, dist_imgs, ref_imgs, stats):
             return fr.forward(
-                params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg
+                params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg,
+                stats=stats,
             )
 
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
-            return jax.jit(step, in_shardings=(rsh, dsh, dsh),
+            return jax.jit(step, in_shardings=(rsh, dsh, dsh, dsh),
                            out_shardings=(dsh, dsh))
         return jax.jit(step)
 
+    def _build_dists_step(self):
+        """Raw pretrained-DISTS scoring (no head) — used to compute the
+        data-driven head-init column when the scores CSV lacks one
+        (replaces the constant-filler landmine; prep.py normally
+        precomputes it)."""
+        def step(dist_imgs, ref_imgs):
+            return dists.forward(
+                self.vgg_params, self.original_weights, dist_imgs, ref_imgs,
+                self.model_cfg.dists,
+            )
+
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            return jax.jit(step, in_shardings=(dsh, dsh), out_shardings=dsh)
+        return jax.jit(step)
+
+    def _stats_or_zeros(self, stats, n: int):
+        if stats is not None:
+            return jnp.asarray(stats, jnp.float32)
+        return jnp.zeros((n, max(self.n_stats, 1)), jnp.float32)
+
     # -- public API -------------------------------------------------------
     def init(self, train_dists_scores, train_targets):
-        params = fr.init_params(train_dists_scores, train_targets, self.model_cfg)
+        params = fr.init_params(
+            train_dists_scores, train_targets, self.model_cfg,
+            dists_weights=self.original_weights, n_stats=self.n_stats,
+        )
         opt_state = self.optimizer.init(params)
         if self.mesh is not None:
             params = meshlib.replicate(self.mesh, params)
@@ -156,7 +189,7 @@ class FRTrainer:
         return params, opt_state
 
     def train_step(self, params, opt_state, dist_imgs, ref_imgs, targets,
-                   sample_weights=None):
+                   sample_weights=None, stats=None):
         targets = jnp.asarray(targets, jnp.float32)
         if sample_weights is None:
             sample_weights = jnp.ones_like(targets)
@@ -164,7 +197,21 @@ class FRTrainer:
             params, opt_state,
             jnp.asarray(dist_imgs), jnp.asarray(ref_imgs),
             targets, jnp.asarray(sample_weights, jnp.float32),
+            self._stats_or_zeros(stats, targets.shape[0]),
         )
+
+    def compute_dists_scores(self, batches: Iterable) -> dict:
+        """Per-video mean pretrained-DISTS scores over a loader (used for
+        head init when the CSV lacks a DISTS column)."""
+        scores: dict[Any, list] = {}
+        for batch in batches:
+            dist_imgs, ref_imgs = batch[0], batch[1]
+            video_ids = batch[3] if len(batch) > 3 else np.zeros(len(dist_imgs))
+            s = self._dists_step(jnp.asarray(dist_imgs), jnp.asarray(ref_imgs))
+            for vid, v in zip(np.atleast_1d(np.asarray(video_ids)),
+                              np.asarray(s)):
+                scores.setdefault(vid.item(), []).append(float(v))
+        return {v: float(np.mean(x)) for v, x in scores.items()}
 
     def train_epoch(
         self,
@@ -198,21 +245,31 @@ class FRTrainer:
                 )
         return params, opt_state, float(np.mean(losses)) if losses else 0.0
 
-    def evaluate(self, params, dist_imgs, ref_imgs):
+    def evaluate(self, params, dist_imgs, ref_imgs, stats=None):
         return self._eval_step(
-            params, jnp.asarray(dist_imgs), jnp.asarray(ref_imgs)
+            params, jnp.asarray(dist_imgs), jnp.asarray(ref_imgs),
+            self._stats_or_zeros(stats, np.shape(dist_imgs)[0]),
         )
 
-    def score_dataloader(self, params, batches: Iterable) -> dict:
+    def score_dataloader(self, params, batches: Iterable,
+                         stats_of_video=None) -> dict:
         """Video-level scoring over an eval loader — the missing
         ``forward_dataloader`` capability (SURVEY §2 #7): per-frame
-        forward, concat, then per-video means."""
+        forward, concat, then per-video means. ``stats_of_video``:
+        optional {video_id: (n_stats,) array} for the stats-conditioned
+        head (run_test2_stats.py:195)."""
         preds: dict[Any, list] = {}
         dists_scores: dict[Any, list] = {}
         for batch in batches:
             dist_imgs, ref_imgs = batch[0], batch[1]
             video_ids = batch[3] if len(batch) > 3 else np.zeros(len(dist_imgs))
-            pred, ds = self.evaluate(params, dist_imgs, ref_imgs)
+            stats = None
+            if stats_of_video is not None:
+                stats = np.stack([
+                    stats_of_video[int(v)]
+                    for v in np.atleast_1d(np.asarray(video_ids))
+                ]).astype(np.float32)
+            pred, ds = self.evaluate(params, dist_imgs, ref_imgs, stats)
             for vid, p, d in zip(
                 np.atleast_1d(np.asarray(video_ids)),
                 np.asarray(pred),
