@@ -71,8 +71,43 @@ def _minmax_norm(x: jax.Array) -> jax.Array:
     return (x - mn) / (mx - mn + _C0)
 
 
+def _channel_blocks(arrs: Sequence[jax.Array], block: int):
+    """Stack NHWC arrays into (num_blocks, N, H, W, block) with zero
+    padding on the channel axis (zero channels contribute zero to every
+    blocked reduction below)."""
+    c = arrs[0].shape[-1]
+    nb = -(-c // block)
+    pad = nb * block - c
+    out = []
+    for a in arrs:
+        n, h, w, _ = a.shape
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        out.append(jnp.moveaxis(a.reshape(n, h, w, nb, block), 3, 0))
+    return out
+
+
+def _gamma_blocked(f: jax.Array, window_size: int, precision,
+                   block: int) -> jax.Array:
+    """Channel-blocked windowed var/mean ratio mean (full-res stages):
+    equivalent to the unblocked gamma but only ``block`` channels of
+    VALID moment maps are ever live."""
+    n, h, w, c = f.shape
+    (fb,) = _channel_blocks([f], block)
+    hk, wk = h - window_size + 1, w - window_size + 1
+
+    def body(carry, fk):
+        m = window_mean(fk, window_size, precision=precision)
+        v = window_mean(fk * fk, window_size, precision=precision) \
+            - jnp.square(m)
+        return carry + (v / (m + _C0)).sum(axis=-1), None
+
+    tot, _ = jax.lax.scan(body, jnp.zeros((n, hk, wk), jnp.float32), fb)
+    return (tot / c)[..., None]
+
+
 def compute_prob(feats: Sequence[jax.Array], window_size: int = 21,
-                 precision=None) -> list[jax.Array]:
+                 precision=None, block_pixels: int = 448 * 448,
+                 channel_block: int = 16) -> list[jax.Array]:
     """Per-stage structure probability maps ps (ADISTS.py:71-100),
     cascaded coarse -> fine. Returns one (N, Hk, Wk, 1) map per stage."""
     ps_list: list[jax.Array] = []
@@ -81,10 +116,14 @@ def compute_prob(feats: Sequence[jax.Array], window_size: int = 21,
         f = feats[k].astype(jnp.float32)
         n, h, w, c = f.shape
         if fits_window(h, w, window_size):
-            x_mean = window_mean(f, window_size, precision=precision)
-            x_var = window_mean(f * f, window_size,
-                                precision=precision) - jnp.square(x_mean)
-            gamma = (x_var / (x_mean + _C0)).mean(axis=-1, keepdims=True)
+            if h * w > block_pixels:
+                gamma = _gamma_blocked(f, window_size, precision,
+                                       channel_block)
+            else:
+                x_mean = window_mean(f, window_size, precision=precision)
+                x_var = window_mean(f * f, window_size,
+                                    precision=precision) - jnp.square(x_mean)
+                gamma = (x_var / (x_mean + _C0)).mean(axis=-1, keepdims=True)
             g_mean = gamma.mean(axis=(1, 2), keepdims=True)
             # torch .std() default is unbiased (ddof=1) — ADISTS.py:83
             g_std = gamma.std(axis=(1, 2), keepdims=True, ddof=1)
@@ -108,6 +147,44 @@ def _spatial_l2_normalize(f: jax.Array) -> jax.Array:
     over the spatial plane (ADISTS.py:166-167)."""
     norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=(1, 2), keepdims=True))
     return f / jnp.maximum(norm, 1e-12)
+
+
+def _stage_dmap_blocked(fx: jax.Array, fy: jax.Array, ps: jax.Array,
+                        wk: jax.Array, window_size: int, precision,
+                        block: int) -> jax.Array:
+    """Channel-blocked windowed T/S distortion map for full-resolution
+    stages: scans channel blocks so only ``block`` channels of the five
+    VALID moment maps (means, vars, covariance) are live at once.
+    Zero-padded channels produce T=S=1 with weight 0 — no contribution."""
+    n, h, w, c = fx.shape
+    fxb, fyb = _channel_blocks([fx, fy], block)
+    nb = fxb.shape[0]
+    pad = nb * block - c
+    wkb = jnp.moveaxis(
+        jnp.pad(wk, ((0, 0), (0, pad))).reshape(n, nb, block), 1, 0
+    )
+    hk, wk_out = h - window_size + 1, w - window_size + 1
+    pt = 1.0 - ps
+
+    def body(carry, inp):
+        fxk, fyk, wkk = inp
+        xm = window_mean(fxk, window_size, precision=precision)
+        ym = window_mean(fyk, window_size, precision=precision)
+        xv = window_mean(fxk * fxk, window_size, precision=precision) \
+            - jnp.square(xm)
+        yv = window_mean(fyk * fyk, window_size, precision=precision) \
+            - jnp.square(ym)
+        cov = window_mean(fxk * fyk, window_size, precision=precision) \
+            - xm * ym
+        t = (2 * xm * ym + 1e-6) / (jnp.square(xm) + jnp.square(ym) + 1e-6)
+        s = (2 * cov + 1e-6) / (xv + yv + 1e-6)
+        d = ((pt * t + ps * s) * wkk[:, None, None, :]).sum(axis=-1)
+        return carry + d, None
+
+    d_map, _ = jax.lax.scan(
+        body, jnp.zeros((n, hk, wk_out), jnp.float32), (fxb, fyb, wkb)
+    )
+    return d_map
 
 
 def entropy_weights(f: jax.Array) -> jax.Array:
@@ -147,7 +224,9 @@ def forward(
     # serving fast path: bf16-grade MXU matmuls for the windowed stats
     wprec = (jax.lax.Precision.DEFAULT
              if cfg.compute_dtype == "bfloat16" else None)
-    ps_x = compute_prob(feats_x, cfg.window_size, precision=wprec)
+    ps_x = compute_prob(feats_x, cfg.window_size, precision=wprec,
+                        block_pixels=cfg.block_pixels_threshold,
+                        channel_block=cfg.channel_block)
 
     # entropy channel weights, clamped to mean +- 0.5 std (ADISTS.py:152-160)
     weight = jnp.concatenate([entropy_weights(f) for f in feats_x], axis=1)
@@ -170,6 +249,23 @@ def forward(
         fx = _spatial_l2_normalize(feats_x[k].astype(jnp.float32))
         fy = _spatial_l2_normalize(feats_y[k].astype(jnp.float32))
         h, w = fx.shape[1], fx.shape[2]
+        ps = ps_x[k]  # (N, hk, wk, 1), broadcasts over channels
+        wk_weights = weight[:, offsets[k]:offsets[k + 1]]
+        if fits_window(h, w, cfg.window_size) \
+                and h * w > cfg.block_pixels_threshold:
+            # full-resolution path: channel-blocked moments (see
+            # _stage_dmap_blocked) — 1080p stage maps never materialize
+            # at full channel width
+            d_map = _stage_dmap_blocked(
+                fx, fy, ps, wk_weights, cfg.window_size, wprec,
+                cfg.channel_block,
+            )
+            if as_map:
+                d_map_full = d_map_full + resize_bilinear(
+                    d_map[..., None], H, W
+                )[..., 0]
+            d_total = d_total + d_map.mean(axis=(1, 2))
+            continue
         if fits_window(h, w, cfg.window_size):
             x_mean = window_mean(fx, cfg.window_size, precision=wprec)
             y_mean = window_mean(fy, cfg.window_size, precision=wprec)
@@ -191,9 +287,8 @@ def forward(
         )
         s_map = (2 * xy_cov + 1e-6) / (x_var + y_var + 1e-6)
 
-        ps = ps_x[k]  # (N, hk, wk, 1), broadcasts over channels
         pt = 1.0 - ps
-        wk_slice = weight[:, offsets[k]:offsets[k + 1]][:, None, None, :]
+        wk_slice = wk_weights[:, None, None, :]
         d_map = ((pt * t_map + ps * s_map) * wk_slice).sum(axis=-1)  # (N,h,w)
         if as_map:
             d_map_full = d_map_full + resize_bilinear(

@@ -93,3 +93,33 @@ def test_adists_identical_images_high_similarity(vgg_params, images):
     score = adists.forward(vgg_params, jnp.asarray(x), jnp.asarray(x), as_loss=False)
     # D -> ~1 per image when x == y (T = S = 1 everywhere)
     np.testing.assert_allclose(np.asarray(score), 0.0, atol=5e-3)
+
+
+def test_blocked_fullres_path_matches_unblocked():
+    """The channel-blocked full-resolution path (lax.scan over channel
+    blocks) must produce the same scores as the unblocked path."""
+    import jax.numpy as jnp
+
+    from nerf_qa_tpu.config import ADISTSConfig
+    from nerf_qa_tpu.core import adists
+    from nerf_qa_tpu.core.vgg import init_vgg16_params
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    vgg = init_vgg16_params(seed=0)
+    base = adists.forward(vgg, x, y, ADISTSConfig(), as_loss=False)
+    blocked = adists.forward(
+        vgg, x, y,
+        ADISTSConfig(block_pixels_threshold=0, channel_block=16),
+        as_loss=False,
+    )
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+    # as_map parity too
+    m0 = adists.forward(vgg, x, y, ADISTSConfig(), as_map=True)
+    m1 = adists.forward(
+        vgg, x, y, ADISTSConfig(block_pixels_threshold=0), as_map=True
+    )
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-4, atol=1e-5)
