@@ -7,14 +7,45 @@ Reference behavior: torch DataLoader with 4-5 workers + pin_memory
 TPU design: a thread-pool loader (decode is PIL/C, releases the GIL)
 feeding a small prefetch queue of ready numpy batches; the consumer
 overlaps host decode with device compute because jax dispatch is async.
+:func:`device_prefetch` adds the H2D leg: a small ring of batches already
+transferred (device_put is async) so the chip never waits on PCIe/ICI for
+the next batch.
 """
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from typing import Any, Callable, Iterable, Iterator, Sequence
 
 import numpy as np
+
+
+def device_prefetch(batches: Iterable, buffer_size: int = 2, device=None):
+    """Double-buffered host->device feed: keep ``buffer_size`` batches
+    already device_put ahead of the consumer, overlapping transfer with
+    device compute (jax transfers are async; the consumer's jitted step
+    dequeues an already-resident batch)."""
+    import jax
+
+    def put(batch):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), device), batch
+        )
+
+    it = iter(batches)
+    buf: collections.deque = collections.deque()
+    try:
+        for _ in range(max(1, buffer_size)):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        nxt = next(it, None)
+        if nxt is not None:
+            buf.append(put(nxt))
+        yield out
 
 
 def recursive_collate(items: Sequence[Any]):
@@ -56,6 +87,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.collate = collate
         self.drop_last = drop_last
+        self._len: int | None = None
 
     def _index_batches(self) -> Iterator[list[int]]:
         if self.sampler is not None:
@@ -92,22 +124,53 @@ class DataLoader:
         yield from self._threaded_iter()
 
     def _threaded_iter(self):
+        """Streaming thread-pool iteration: a feeder thread submits index
+        batches into a bounded task queue (no upfront materialization of
+        the epoch), workers decode+collate, and batches re-emit in order
+        through a results reorder buffer."""
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        batches = list(self._index_batches())
         results: dict[int, Any] = {}
         lock = threading.Lock()
         next_emit = [0]
-        task_q: queue.Queue = queue.Queue()
-        for bi, batch in enumerate(batches):
-            task_q.put((bi, batch))
+        total = [None]  # set by the feeder when the sampler is exhausted
+        task_q: queue.Queue = queue.Queue(
+            maxsize=max(2 * self.num_workers, self.prefetch)
+        )
         stop = threading.Event()
+        _END = object()
+
+        def _put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def feeder():
+            count = 0
+            for bi, batch in enumerate(self._index_batches()):
+                if not _put(task_q, (bi, batch)):
+                    return
+                count += 1
+            total[0] = count
+            for _ in range(self.num_workers):
+                if not _put(task_q, _END):
+                    return
+            with lock:
+                if count == next_emit[0]:
+                    _put(out_q, _END)
 
         def worker():
             while not stop.is_set():
                 try:
-                    bi, batch = task_q.get_nowait()
+                    item = task_q.get(timeout=0.1)
                 except queue.Empty:
+                    continue
+                if item is _END:
                     return
+                bi, batch = item
                 try:
                     data = self.collate([self.dataset[i] for i in batch])
                 except Exception as exc:  # surface loader errors
@@ -115,16 +178,21 @@ class DataLoader:
                 with lock:
                     results[bi] = data
                     while next_emit[0] in results:
-                        out_q.put(results.pop(next_emit[0]))
+                        _put(out_q, results.pop(next_emit[0]))
                         next_emit[0] += 1
+                    if total[0] is not None and next_emit[0] == total[0]:
+                        _put(out_q, _END)
 
-        threads = [threading.Thread(target=worker, daemon=True)
-                   for _ in range(self.num_workers)]
+        threads = [threading.Thread(target=feeder, daemon=True)]
+        threads += [threading.Thread(target=worker, daemon=True)
+                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         try:
-            for _ in range(len(batches)):
+            while True:
                 item = out_q.get()
+                if item is _END:
+                    return
                 if isinstance(item, Exception):
                     raise item
                 yield item
@@ -132,5 +200,9 @@ class DataLoader:
             stop.set()
 
     def __len__(self):
-        n = len(list(self._index_batches()))
-        return n
+        # batch count is epoch-invariant for all samplers here
+        # (SceneBalancedSampler emits min_count * n_scenes indices every
+        # epoch); compute once instead of re-enumerating per call.
+        if self._len is None:
+            self._len = sum(1 for _ in self._index_batches())
+        return self._len

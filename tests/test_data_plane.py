@@ -209,3 +209,35 @@ def test_video_frame_dir_loading(test2_tree):
     assert frames.shape == (3, 32, 40, 3)
     batches = list(iter_video_batches(frames, frames, 2))
     assert [b[0].shape[0] for b in batches] == [2, 1]
+
+
+def test_dataloader_len_cached_and_correct(test2_tree):
+    root, df = test2_tree
+    ds = Test2Dataset(root, df)
+    loader = DataLoader(ds, batch_size=2, num_workers=0)
+    assert len(loader) == 3
+    assert loader._len == 3  # cached, not re-enumerated per call
+    assert len(loader) == 3
+
+
+def test_device_prefetch_preserves_order_and_content(test2_tree):
+    from nerf_qa_tpu.data.pipeline import device_prefetch
+
+    root, df = test2_tree
+    ds = Test2Dataset(root, df)
+    loader = DataLoader(ds, batch_size=2, num_workers=2)
+    direct = list(DataLoader(ds, batch_size=2, num_workers=0))
+    fetched = list(device_prefetch(loader, buffer_size=2))
+    assert len(fetched) == len(direct)
+    for a, b in zip(fetched, direct):
+        np.testing.assert_allclose(np.asarray(a[0]), b[0])
+        np.testing.assert_array_equal(np.asarray(a[3]), b[3])
+
+
+def test_device_prefetch_short_stream():
+    from nerf_qa_tpu.data.pipeline import device_prefetch
+
+    batches = [np.full((2, 2), i, np.float32) for i in range(1)]
+    out = list(device_prefetch(iter(batches), buffer_size=4))
+    assert len(out) == 1
+    np.testing.assert_array_equal(np.asarray(out[0]), batches[0])
