@@ -7,10 +7,13 @@ scripts/init_sweep.sh registers them; control.py mutates a live sweep.
 
 This driver reads the SAME YAML schema (method, metric, parameters with
 values/min/max/distribution) and runs trials locally: grid enumerates,
-random samples, 'bayes' falls back to random-with-history seeding (a
-wandb agent can still consume the YAML when wandb is installed). Each
-trial invokes a target main(argv) with --key value overrides and reads
-the objective from the trial's metrics.jsonl.
+random samples, and 'bayes' runs a Gaussian-process expected-improvement
+optimizer over the normalized parameter space (the reference's primary
+sweeps use method: bayes, wandb/config-nerf-qa-logistic.yaml). A wandb
+agent can still consume the YAML when wandb is installed — see
+tools/init_sweep.py (the scripts/init_sweep.sh shim). Each trial invokes
+a target main(argv) with --key value overrides and reads the objective
+from the trial's metrics.jsonl.
 """
 from __future__ import annotations
 
@@ -139,6 +142,97 @@ def grid_parameters(params: dict):
         yield dict(zip(keys, combo))
 
 
+class BayesSampler:
+    """Sequential GP/expected-improvement proposer over the wandb
+    parameter space.
+
+    Parameters encode to [0,1]^d (log-scaled where the distribution is
+    log; categorical 'values' by index). A zero-mean RBF-kernel GP fits
+    the observed (x, objective) pairs; each proposal maximizes EI over a
+    random candidate pool. The first ``n_seed`` trials are random."""
+
+    def __init__(self, params: dict, rng: np.random.Generator,
+                 maximize: bool = True, n_seed: int = 5,
+                 n_candidates: int = 256):
+        self.params = params
+        self.rng = rng
+        self.maximize = maximize
+        self.n_seed = n_seed
+        self.n_candidates = n_candidates
+        self.xs: list[np.ndarray] = []
+        self.ys: list[float] = []
+
+    # -- encoding ---------------------------------------------------------
+    def _axes(self):
+        for name, spec in self.params.items():
+            if isinstance(spec, dict) and "values" in spec \
+                    and len(spec["values"]) > 1:
+                yield name, spec
+            elif isinstance(spec, dict) and "min" in spec and "max" in spec:
+                yield name, spec
+
+    def encode(self, trial: dict) -> np.ndarray:
+        x = []
+        for name, spec in self._axes():
+            v = trial[name]
+            if "values" in spec:
+                k = len(spec["values"])
+                try:
+                    idx = spec["values"].index(v)
+                except ValueError:
+                    idx = 0
+                x.append(idx / max(k - 1, 1))
+            else:
+                lo, hi = float(spec["min"]), float(spec["max"])
+                if "log" in str(spec.get("distribution", "")):
+                    x.append((np.log(float(v)) - np.log(lo))
+                             / max(np.log(hi) - np.log(lo), 1e-12))
+                else:
+                    x.append((float(v) - lo) / max(hi - lo, 1e-12))
+        return np.asarray(x, np.float64)
+
+    def observe(self, trial: dict, objective: float | None) -> None:
+        if objective is None or not np.isfinite(objective):
+            return
+        y = float(objective) if self.maximize else -float(objective)
+        self.xs.append(self.encode(trial))
+        self.ys.append(y)
+
+    # -- GP posterior + EI --------------------------------------------------
+    @staticmethod
+    def _kernel(a: np.ndarray, b: np.ndarray, ls: float = 0.25) -> np.ndarray:
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2 / ls**2)
+
+    def propose(self) -> dict:
+        if len(self.ys) < self.n_seed:
+            return sample_parameters(self.params, self.rng)
+        cands = [sample_parameters(self.params, self.rng)
+                 for _ in range(self.n_candidates)]
+        cx = np.stack([self.encode(c) for c in cands])
+        tx = np.stack(self.xs)
+        ty = np.asarray(self.ys)
+        mu0, sd0 = ty.mean(), max(ty.std(), 1e-8)
+        tyn = (ty - mu0) / sd0
+        k_tt = self._kernel(tx, tx) + 1e-4 * np.eye(len(tx))
+        k_ct = self._kernel(cx, tx)
+        sol = np.linalg.solve(k_tt, tyn)
+        mean = k_ct @ sol
+        var = 1.0 - np.einsum(
+            "ij,ji->i", k_ct, np.linalg.solve(k_tt, k_ct.T)
+        )
+        std = np.sqrt(np.clip(var, 1e-12, None))
+        best = tyn.max()
+        z = (mean - best) / std
+        # EI = std * (z Phi(z) + phi(z))
+        from scipy.special import erf
+
+        phi = np.exp(-0.5 * z**2) / np.sqrt(2 * np.pi)
+        cdf = 0.5 * (1 + erf(z / np.sqrt(2)))
+        ei = std * (z * cdf + phi)
+        return cands[int(np.argmax(ei))]
+
+
 def read_objective(metrics_jsonl: str, metric_name: str) -> float | None:
     """Last logged value of the objective metric from a JSONL sink."""
     if not os.path.exists(metrics_jsonl):
@@ -171,16 +265,23 @@ def run_sweep(
     params = config.get("parameters", {})
     rng = np.random.default_rng(seed)
 
+    sampler = None
     if method == "grid":
         trials = list(itertools.islice(grid_parameters(params), max_trials))
-    else:  # random / bayes-fallback
+    elif method == "bayes":
+        sampler = BayesSampler(params, rng, maximize=goal == "maximize")
+        trials = None  # proposed sequentially from the GP posterior
+    else:  # random
         trials = [sample_parameters(params, rng) for _ in range(max_trials)]
 
     history = []
-    for i, trial_params in enumerate(trials):
+    for i in range(max_trials if trials is None else len(trials)):
+        trial_params = sampler.propose() if sampler else trials[i]
         trial_dir = os.path.join(output_dir, f"trial_{i:03d}")
         os.makedirs(trial_dir, exist_ok=True)
         value = trial_fn(trial_params, trial_dir)
+        if sampler:
+            sampler.observe(trial_params, value)
         history.append({"trial": i, "params": trial_params, "objective": value})
         with open(os.path.join(output_dir, "history.jsonl"), "a") as f:
             f.write(json.dumps(history[-1]) + "\n")

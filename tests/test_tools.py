@@ -191,3 +191,46 @@ def test_warp_identity():
     grid = jnp.asarray(np.stack([yy, xx], -1)[None])
     out = retrieval.warp_image(img, grid)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_bayes_sweep_beats_random_on_quadratic(tmp_path):
+    """GP/EI sampler (method: bayes) concentrates trials near the optimum
+    of a smooth objective — mean of the last trials must beat random's."""
+    from nerf_qa_tpu.tools.sweep import BayesSampler, sample_parameters
+
+    params = {
+        "lr": {"min": 0.0, "max": 1.0},
+        "gamma": {"min": 0.0, "max": 1.0, "distribution": "uniform"},
+    }
+
+    def objective(t):
+        return -((t["lr"] - 0.3) ** 2 + (t["gamma"] - 0.7) ** 2)
+
+    rng = np.random.default_rng(0)
+    sampler = BayesSampler(params, rng, maximize=True, n_seed=4)
+    bayes_vals = []
+    for _ in range(20):
+        t = sampler.propose()
+        v = objective(t)
+        sampler.observe(t, v)
+        bayes_vals.append(v)
+
+    rng2 = np.random.default_rng(0)
+    random_vals = [objective(sample_parameters(params, rng2))
+                   for _ in range(20)]
+    assert np.mean(bayes_vals[8:]) > np.mean(random_vals[8:])
+    assert max(bayes_vals) > -0.01  # found the neighborhood of (0.3, 0.7)
+
+
+def test_run_sweep_bayes_method(tmp_path):
+    from nerf_qa_tpu.tools.sweep import run_sweep
+
+    cfg = {
+        "method": "bayes",
+        "metric": {"name": "obj", "goal": "minimize"},
+        "parameters": {"x": {"min": -1.0, "max": 1.0}},
+    }
+    hist = run_sweep(cfg, lambda p, d: (p["x"] - 0.5) ** 2,
+                     max_trials=12, output_dir=str(tmp_path / "b"))
+    best = min(h["objective"] for h in hist)
+    assert best < 0.05  # GP homed in on x=0.5
