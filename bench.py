@@ -26,20 +26,24 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from nerf_qa_tpu.compat.pretrained import (
+        resolve_dists_weights,
+        resolve_vgg_params,
+    )
     from nerf_qa_tpu.config import DISTSConfig
     from nerf_qa_tpu.core import dists
-    from nerf_qa_tpu.core.vgg import init_vgg16_params
     from nerf_qa_tpu.ops.resize import resize_bilinear
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     n_buffers = 4
 
-    # Random VGG weights: identical FLOPs/memory to pretrained; this
-    # environment has no torchvision checkpoint (see compat/torch_weights).
-    params = init_vgg16_params(seed=0)
-    weights = dists.load_pretrained_weights()
+    # Pretrained VGG16 via $NERF_QA_VGG_CKPT when available; random
+    # fallback is FLOP/memory-identical (this environment ships no
+    # torchvision checkpoint — see compat/pretrained).
     cfg = DISTSConfig(compute_dtype="bfloat16", stats_impl="pallas")
+    params = resolve_vgg_params(seed=0)
+    weights = resolve_dists_weights(cfg)
 
     fast_resize = dict(
         precision=jax.lax.Precision.DEFAULT,
@@ -114,6 +118,34 @@ def main() -> None:
     _ = np.asarray(outs[-1])
     fps_adists = batch * iters / (time.perf_counter() - t0)
 
+    # full-resolution (no-downscale) scoring at native 1080p: DISTS via
+    # fused Pallas moments, ADISTS via the channel-blocked windowed path
+    fr_batch, fr_iters = 2, 4
+    fr_pairs = [(d[:fr_batch] / np.float32(255.0),
+                 r[:fr_batch] / np.float32(255.0))
+                for d, r in dev_pairs[:2]]
+    fr_pairs = [(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+                for a, b in fr_pairs]
+
+    @jax.jit
+    def dists_fullres(x, y):
+        return dists.forward(params, weights, x, y, cfg)
+
+    @jax.jit
+    def adists_fullres(x, y):
+        return adists.forward(params, x, y, acfg, as_loss=False)
+
+    def timed(fn):
+        out = fn(*fr_pairs[0])
+        _ = np.asarray(out)
+        t0 = time.perf_counter()
+        outs = [fn(*fr_pairs[i % 2]) for i in range(fr_iters)]
+        jax.block_until_ready(outs)
+        return fr_batch * fr_iters / (time.perf_counter() - t0)
+
+    fps_dists_fullres = timed(dists_fullres)
+    fps_adists_fullres = timed(adists_fullres)
+
     print(
         json.dumps(
             {
@@ -130,6 +162,8 @@ def main() -> None:
                                 "stage size)",
                     "fps_device_pipeline": round(fps, 2),
                     "fps_adists": round(fps_adists, 2),
+                    "fps_dists_fullres_1080p": round(fps_dists_fullres, 2),
+                    "fps_adists_fullres_1080p": round(fps_adists_fullres, 2),
                     "fps_including_h2d": round(fps_e2e, 2),
                     "h2d_gbps": round(h2d_bytes / h2d_s / 1e9, 3),
                     "h2d_note": "TPU reached via a network tunnel in this "
