@@ -249,6 +249,67 @@ def read_objective(metrics_jsonl: str, metric_name: str) -> float | None:
     return value
 
 
+def run_sweep_hyperband(
+    config: dict,
+    trial_fn: Callable[[dict, str], float | None],
+    max_trials: int = 20,
+    output_dir: str = "./sweep",
+    seed: int = 0,
+    eta: int = 3,
+) -> list[dict]:
+    """Successive-halving early termination (the reference's
+    config-early.yaml uses wandb hyperband with min_iter). Trials start at
+    ``early_terminate.min_iter`` epochs; the top 1/eta of each rung are
+    promoted with eta x the budget until ``max_iter`` (or the config's
+    'epochs' value) is reached. trial params carry an 'epochs' override
+    the target trainer consumes."""
+    os.makedirs(output_dir, exist_ok=True)
+    et = config.get("early_terminate", {})
+    min_iter = int(et.get("min_iter", 1))
+    max_iter = int(et.get("max_iter",
+                          config.get("parameters", {})
+                          .get("epochs", {}).get("value", min_iter * eta**2)))
+    goal = config.get("metric", {}).get("goal", "maximize")
+    params = config.get("parameters", {})
+    rng = np.random.default_rng(seed)
+    sign = 1.0 if goal == "maximize" else -1.0
+
+    survivors = [sample_parameters(params, rng) for _ in range(max_trials)]
+    history: list[dict] = []
+    budget = min_iter
+    rung = 0
+    tid = 0
+    while survivors:
+        scored = []
+        for trial_params in survivors:
+            trial_params = dict(trial_params, epochs=int(budget))
+            trial_dir = os.path.join(output_dir, f"trial_{tid:03d}")
+            os.makedirs(trial_dir, exist_ok=True)
+            value = trial_fn(trial_params, trial_dir)
+            rec = {"trial": tid, "rung": rung, "epochs": int(budget),
+                   "params": trial_params, "objective": value}
+            history.append(rec)
+            with open(os.path.join(output_dir, "history.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"rung {rung} trial {tid} (epochs {budget}): "
+                  f"{trial_params} -> {value}")
+            if value is not None and np.isfinite(value):
+                scored.append((sign * value, trial_params))
+            tid += 1
+        if budget >= max_iter or len(scored) <= 1:
+            break
+        scored.sort(key=lambda t: -t[0])
+        keep = max(1, len(scored) // eta)
+        survivors = [p for _, p in scored[:keep]]
+        budget = min(budget * eta, max_iter)
+        rung += 1
+    best = max((h for h in history if h["objective"] is not None),
+               key=lambda h: sign * h["objective"], default=None)
+    if best:
+        print("best:", best)
+    return history
+
+
 def run_sweep(
     config: dict,
     trial_fn: Callable[[dict, str], float | None],
@@ -258,6 +319,9 @@ def run_sweep(
 ) -> list[dict]:
     """Run trials; trial_fn(params, trial_dir) returns the objective.
     Returns the trial history sorted by goal."""
+    if config.get("early_terminate", {}).get("type") == "hyperband":
+        return run_sweep_hyperband(config, trial_fn, max_trials,
+                                   output_dir, seed)
     os.makedirs(output_dir, exist_ok=True)
     method = config.get("method", "random")
     metric = config.get("metric", {})

@@ -106,6 +106,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-host (pod): no-op on a single host; when a coordinator is
+    # configured, each host decodes only its slice of the frame stream
+    from nerf_qa_tpu.parallel.distributed import (
+        HostShardedSampler,
+        host_info,
+        maybe_initialize,
+    )
+
+    distributed = maybe_initialize()
     os.makedirs(args.output_dir, exist_ok=True)
     sink = jsonl_sink(os.path.join(args.output_dir, "metrics.jsonl"))
 
@@ -160,6 +169,10 @@ def main(argv=None):
         aug_rot_deg=args.aug_rot_deg,
         render_size=args.render_size, sem_size=args.sem_size,
     )
+    if distributed:
+        hid, hcount = host_info()
+        print(f"multi-host: process {hid}/{hcount}")
+        loader.sampler = HostShardedSampler(loader.sampler)
     trainer = NRTrainer(model, train_cfg, steps_per_epoch=max(1, len(loader)))
     params, state, opt_state, rng = trainer.init()
 

@@ -241,3 +241,24 @@ def test_device_prefetch_short_stream():
     out = list(device_prefetch(iter(batches), buffer_size=4))
     assert len(out) == 1
     np.testing.assert_array_equal(np.asarray(out[0]), batches[0])
+
+
+def test_host_sharded_sampler_partitions_and_covers():
+    from nerf_qa_tpu.parallel.distributed import HostShardedSampler
+
+    base = list(range(10))
+    shards = [list(HostShardedSampler(base, host_id=i, host_count=3))
+              for i in range(3)]
+    assert sorted(sum(shards, [])) == base
+    assert [len(s) for s in shards] == [4, 3, 3]
+    assert [len(HostShardedSampler(base, host_id=i, host_count=3))
+            for i in range(3)] == [4, 3, 3]
+
+
+def test_maybe_initialize_noop_without_cluster(monkeypatch):
+    from nerf_qa_tpu.parallel.distributed import host_info, maybe_initialize
+
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert maybe_initialize() is False
+    assert host_info() == (0, 1)

@@ -234,3 +234,29 @@ def test_run_sweep_bayes_method(tmp_path):
                      max_trials=12, output_dir=str(tmp_path / "b"))
     best = min(h["objective"] for h in hist)
     assert best < 0.05  # GP homed in on x=0.5
+
+
+def test_hyperband_successive_halving(tmp_path):
+    """early_terminate: hyperband runs rungs with growing epoch budgets
+    and promotes the top 1/eta configs."""
+    from nerf_qa_tpu.tools.sweep import run_sweep
+
+    cfg = {
+        "method": "random",
+        "metric": {"name": "obj", "goal": "maximize"},
+        "parameters": {"x": {"min": 0.0, "max": 1.0}},
+        "early_terminate": {"type": "hyperband", "min_iter": 1,
+                            "max_iter": 9},
+    }
+    calls = []
+
+    def trial(p, d):
+        calls.append(p["epochs"])
+        return p["x"] * p["epochs"]  # larger budget -> larger objective
+
+    hist = run_sweep(cfg, trial, max_trials=9, output_dir=str(tmp_path / "h"))
+    rungs = sorted({h["rung"] for h in hist})
+    assert rungs == [0, 1, 2]
+    assert sorted(set(calls)) == [1, 3, 9]
+    # rung sizes shrink 9 -> 3 -> 1
+    assert [sum(1 for h in hist if h["rung"] == r) for r in rungs] == [9, 3, 1]
