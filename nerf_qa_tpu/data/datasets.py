@@ -35,6 +35,7 @@ import numpy as np
 
 from nerf_qa_tpu.data.imaging import (
     load_image_rgb,
+    load_prepared,
     load_resized,
     paired_random_crop,
     paired_random_resize,
@@ -128,9 +129,10 @@ class Test2Dataset(FrameIndexed):
         ref_path = path.join(self.ref_dir, row["reference_folder"],
                              self.gt_files[video_idx][frame])
         # prepare_image semantics: resize only when min side > 256
-        # (data.py:154-155 -> DISTS_pt.py:210-217)
-        dist = prepare_image(load_image_rgb(dist_path), resize=self.resize)
-        ref = prepare_image(load_image_rgb(ref_path), resize=self.resize)
+        # (data.py:154-155 -> DISTS_pt.py:210-217); native decode+resize
+        # when the C++ layer is built
+        dist = load_prepared(dist_path, resize=self.resize)
+        ref = load_prepared(ref_path, resize=self.resize)
         score = float(row["MOS"])
         if self.in_memory:
             # quantized uint8 cache, reference frames deduped
@@ -157,12 +159,14 @@ class LargeQADataset(FrameIndexed):
     def __getitem__(self, idx: int):
         video_idx, frame = self.locate(idx)
         row = self.scores_df.iloc[video_idx]
-        dist = prepare_image(load_image_rgb(
-            path.join(self.dist_dir, row["distorted_filename"], f"{frame:03d}.png")
-        ), resize=self.resize)
-        ref = prepare_image(load_image_rgb(
-            path.join(self.ref_dir, row["referenced_filename"], f"{frame:03d}.png")
-        ), resize=self.resize)
+        dist = load_prepared(
+            path.join(self.dist_dir, row["distorted_filename"],
+                      f"{frame:03d}.png"), resize=self.resize,
+        )
+        ref = load_prepared(
+            path.join(self.ref_dir, row["referenced_filename"],
+                      f"{frame:03d}.png"), resize=self.resize,
+        )
         return dist, ref, float(row["MOS"]), video_idx
 
     def get_scene_indices(self):

@@ -100,6 +100,27 @@ def prepare_image(img: np.ndarray, resize: bool = True,
     return img.astype(np.float32)
 
 
+def load_prepared(path: str, resize: bool = True,
+                  keep_aspect_ratio: bool = False) -> np.ndarray:
+    """Decode + prepare_image in one step. When the native C++ layer is
+    built and the target is the square-256 policy, decode and resize
+    happen in native code without a PIL round trip (the FR loaders' hot
+    path; same numerics — tests/test_native_decoder.py)."""
+    if resize and not keep_aspect_ratio:
+        try:
+            from nerf_qa_tpu.data import native
+
+            if native.available():
+                h, w = native.image_size(path)
+                if min(h, w) > 256:
+                    return native.decode_resize(path, 256, 256)
+                return native.decode_resize(path, h, w)
+        except Exception:  # fall back to the PIL path on any native error
+            pass
+    return prepare_image(load_image_rgb(path), resize=resize,
+                         keep_aspect_ratio=keep_aspect_ratio)
+
+
 def paired_random_resize(a: np.ndarray, b: np.ndarray, min_side: int,
                          rng: np.random.Generator):
     """Resize both images so the shortest side is uniform in
