@@ -81,15 +81,21 @@ class JBU(nn.Module):
             -jnp.asarray(sq.reshape(-1)) / (2.0 * sigma_spatial**2)
         )  # (d*d,)
 
-        # range logits for every shift: <proj(center), proj(shifted)>
-        logits = []
-        for dy in range(d):
-            for dx in range(d):
-                shifted = jax.lax.dynamic_slice(
-                    proj_p, (0, dy, dx, 0), (n, gh, gw, self.key_dim)
-                )
-                logits.append(jnp.sum(shifted * proj, axis=-1))
-        logits = jnp.stack(logits, axis=-1)  # (N, gh, gw, d*d)
+        # range logits for every shift: <proj(center), proj(shifted)>.
+        # Both shift loops run as lax.scan so only ONE shifted temp is
+        # live at a time — an unrolled loop at 256²x384 keeps ~49 fp32
+        # feature-map temps and blows HBM in the train step.
+        shift_ids = jnp.arange(d * d)
+
+        def logit_body(_, p):
+            dy, dx = p // d, p % d
+            shifted = jax.lax.dynamic_slice(
+                proj_p, (0, dy, dx, 0), (n, gh, gw, self.key_dim)
+            )
+            return None, jnp.sum(shifted * proj, axis=-1)
+
+        _, logits = jax.lax.scan(logit_body, None, shift_ids)
+        logits = jnp.moveaxis(logits, 0, -1)  # (N, gh, gw, d*d)
         range_k = jax.nn.softmax(temp * logits, axis=-1)
         combined = range_k * spatial
         combined = combined / jnp.clip(
@@ -97,13 +103,17 @@ class JBU(nn.Module):
         )
 
         # adaptive filtering of the bicubic-upsampled source
-        out = jnp.zeros((n, gh, gw, c), jnp.float32)
-        for p in range(d * d):
+        def filter_body(carry, p):
             dy, dx = p // d, p % d
             src_n = jax.lax.dynamic_slice(
                 hr_p, (0, dy, dx, 0), (n, gh, gw, c)
             )
-            out = out + src_n * combined[..., p : p + 1]
+            w_p = jax.lax.dynamic_slice_in_dim(combined, p, 1, axis=3)
+            return carry + src_n * w_p, None
+
+        out, _ = jax.lax.scan(
+            filter_body, jnp.zeros((n, gh, gw, c), jnp.float32), shift_ids
+        )
         return out
 
 

@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--decoder-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="decoder conv/attention compute dtype (params and "
+                        "optimizer state stay fp32)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each RefineUp stage (activation "
+                        "memory -> larger batches)")
     p.add_argument("--render-size", type=int, default=256,
                    help="DISTS input side; must satisfy "
                         "render_size/16 == sem_size/14")
@@ -140,6 +147,8 @@ def main(argv=None):
         refine_scale4=args.refine_scale4,
         dists_pref2ref_coeff=args.dists_pref2ref_coeff,
         score_map_coeff=args.score_map_coeff,
+        decoder_dtype=args.decoder_dtype,
+        remat=args.remat,
         dists=DISTSConfig(compute_dtype=args.compute_dtype),
     )
     from nerf_qa_tpu.models.nr.vit import ViTS14
