@@ -86,11 +86,13 @@ def _channel_blocks(arrs: Sequence[jax.Array], block: int):
     return out
 
 
-def _gamma_blocked(f: jax.Array, window_size: int, precision,
-                   block: int) -> jax.Array:
-    """Channel-blocked windowed var/mean ratio mean (full-res stages):
-    equivalent to the unblocked gamma but only ``block`` channels of
-    VALID moment maps are ever live."""
+def windowed_gamma_sum(f: jax.Array, window_size: int, precision,
+                       block: int) -> jax.Array:
+    """Channel-blocked windowed var/mean ratio SUM over channels,
+    (N,H,W,C) -> (N,Hk,Wk,1): scans channel blocks so only ``block``
+    channels of VALID moment maps are ever live. Zero-padded channels
+    contribute exactly zero (0/(0+eps)). Callers divide by the true
+    channel count (which may differ from C under channel sharding)."""
     n, h, w, c = f.shape
     (fb,) = _channel_blocks([f], block)
     hk, wk = h - window_size + 1, w - window_size + 1
@@ -102,7 +104,7 @@ def _gamma_blocked(f: jax.Array, window_size: int, precision,
         return carry + (v / (m + _C0)).sum(axis=-1), None
 
     tot, _ = jax.lax.scan(body, jnp.zeros((n, hk, wk), jnp.float32), fb)
-    return (tot / c)[..., None]
+    return tot[..., None]
 
 
 def compute_prob(feats: Sequence[jax.Array], window_size: int = 21,
@@ -117,8 +119,8 @@ def compute_prob(feats: Sequence[jax.Array], window_size: int = 21,
         n, h, w, c = f.shape
         if fits_window(h, w, window_size):
             if h * w > block_pixels:
-                gamma = _gamma_blocked(f, window_size, precision,
-                                       channel_block)
+                gamma = windowed_gamma_sum(f, window_size, precision,
+                                           channel_block) / c
             else:
                 x_mean = window_mean(f, window_size, precision=precision)
                 x_var = window_mean(f * f, window_size,
@@ -187,17 +189,23 @@ def _stage_dmap_blocked(fx: jax.Array, fy: jax.Array, ps: jax.Array,
     return d_map
 
 
-def entropy_weights(f: jax.Array) -> jax.Array:
-    """Per-channel entropy weights (ADISTS.py:127-135): spatially
-    L2-normalized ReLU features -> distribution over pixels -> Shannon
-    entropy (bits) -> per-image channel-normalized, scaled by C."""
+def channel_entropy(f: jax.Array) -> jax.Array:
+    """Raw per-channel Shannon entropies (bits), (N,H,W,C) -> (N,C):
+    spatially L2-normalized ReLU features -> distribution over pixels ->
+    entropy (ADISTS.py:127-133). All-zero (padded) channels yield 0."""
     f = _spatial_l2_normalize(jax.nn.relu(f.astype(jnp.float32)))
     n, h, w, c = f.shape
     flat = f.reshape(n, h * w, c)
     flat = flat / (flat.sum(axis=1, keepdims=True) + _C0)
-    ent = jnp.sum(-flat * jnp.log2(flat + _C0), axis=1)  # (N, C)
+    return jnp.sum(-flat * jnp.log2(flat + _C0), axis=1)
+
+
+def entropy_weights(f: jax.Array) -> jax.Array:
+    """Per-channel entropy weights (ADISTS.py:127-135): raw entropies,
+    per-image channel-normalized, scaled by C."""
+    ent = channel_entropy(f)
     ent = ent / (ent.sum(axis=1, keepdims=True) + _C0)
-    return ent * c
+    return ent * f.shape[-1]
 
 
 def forward(

@@ -61,6 +61,11 @@ class FrameScorer:
       antialias: use the antialiased resizer (prepare_image-like) instead
         of torch-interpolate semantics.
       mesh: optional jax.sharding.Mesh for multi-chip data parallelism.
+      spatial: additionally shard frame HEIGHT over the mesh's model axis
+        (parallel.spatial halo-exchange pyramid) — the full-resolution
+        scoring mode (test2_prep.py full_size policy) at multi-chip scale.
+        Requires ``mesh`` with a model axis and ``resize_to=None``; frames
+        must satisfy H % (model_axis * 16) == 0, W % 16 == 0.
     """
 
     def __init__(
@@ -71,13 +76,23 @@ class FrameScorer:
         resize_to: tuple[int, int] | None = (256, 256),
         antialias: bool = False,
         mesh=None,
+        spatial: bool = False,
     ):
+        if spatial:
+            if mesh is None:
+                raise ValueError("spatial=True requires a mesh")
+            if resize_to is not None:
+                raise ValueError(
+                    "spatial=True is the full-resolution mode; use "
+                    "resize_to=None (resize would cross device slabs)"
+                )
         self.vgg_params = vgg_params
         self.weights = weights
         self.cfg = cfg
         self.resize_to = resize_to
         self.antialias = antialias
         self.mesh = mesh
+        self.spatial = spatial
         if mesh is not None:
             self.vgg_params = meshlib.replicate(mesh, vgg_params)
             self.weights = jax.tree_util.tree_map(
@@ -87,6 +102,29 @@ class FrameScorer:
 
     def _build_step(self):
         fast = self.cfg.compute_dtype == "bfloat16"
+
+        if self.spatial:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from nerf_qa_tpu.parallel.spatial import spatial_dists_forward
+
+            def sstep(vgg_params, weights, dist_frames, ref_frames):
+                x = _prep(dist_frames, None, False)
+                y = _prep(ref_frames, None, False)
+                return spatial_dists_forward(
+                    vgg_params, weights, x, y, self.mesh, self.cfg
+                )
+
+            fsh = NamedSharding(
+                self.mesh, P(meshlib.DATA_AXIS, meshlib.MODEL_AXIS)
+            )
+            return jax.jit(
+                sstep,
+                in_shardings=(meshlib.replicated(self.mesh),
+                              meshlib.replicated(self.mesh), fsh, fsh),
+                out_shardings=meshlib.data_sharding(self.mesh),
+                donate_argnums=(2, 3),
+            )
 
         def step(vgg_params, weights, dist_frames, ref_frames):
             x = _prep(dist_frames, self.resize_to, self.antialias, fast)

@@ -187,3 +187,191 @@ def shard_frames_spatial(mesh, batch):
     """Device-put NHWC frames with (batch, H) sharded over (data, model)."""
     sh = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+
+
+# ---------------------------------------------------------------------------
+# ADISTS: H-sharded pyramid, channel-sharded windowed statistics
+# ---------------------------------------------------------------------------
+#
+# The 21x21 windowed moments (ADISTS.py:137-197) don't shard well over H
+# (10-row halos at every stage + cross-device align-corners resizes in the
+# probability cascade). But every expensive piece — windowed gamma, channel
+# entropies, the windowed T/S distortion maps — is separable over CHANNELS.
+# So after the halo-exchanged conv pyramid, one all_to_all per stage
+# reshards (H-slab, all C) -> (full H, C/nd): each device computes its
+# channel block's moments on the full map, and per-pixel/per-image channel
+# reductions finish with a psum. The ps cascade then runs replicated on the
+# (1-channel) psum'd gamma maps, so the reference's coarse->fine resize +
+# min/max renormalizations stay single-device local math.
+
+
+def _channel_block_spec(c: int, nd: int, idx):
+    """Pad C to nd*ceil(C/nd); return (block_size, pad, local mask)."""
+    cb = -(-c // nd)
+    pad = cb * nd - c
+    mask = ((idx * cb + jnp.arange(cb)) < c).astype(jnp.float32)
+    return cb, pad, mask
+
+
+def spatial_adists_forward(
+    vgg_params,
+    x: jax.Array,
+    y: jax.Array,
+    mesh,
+    cfg=None,
+    as_loss: bool = True,
+    as_map: bool = False,
+):
+    """Full-resolution ADISTS with H sharded over the mesh's model axis
+    (batch over data). Semantics match core.adists.forward; H must divide
+    by model_axis_size * 16 and W by 16 (pad 1080 -> 1088)."""
+    from nerf_qa_tpu.config import ADISTSConfig
+    from nerf_qa_tpu.core.adists import (
+        _C0,
+        _minmax_norm,
+        _resize_align_corners,
+        _spatial_l2_normalize,
+        _stage_dmap_blocked,
+        channel_entropy,
+        windowed_gamma_sum,
+    )
+    from nerf_qa_tpu.ops.resize import resize_bilinear
+    from nerf_qa_tpu.ops.windowed import fits_window
+
+    cfg = cfg or ADISTSConfig()
+    nd = mesh.shape[MODEL_AXIS]
+    n, hh, ww, _ = x.shape
+    if hh % (nd * 16) or ww % 16:
+        raise ValueError(
+            f"spatial ADISTS needs H % {nd * 16} == 0 and W % 16 == 0, "
+            f"got {hh}x{ww} (pad the frames, e.g. 1080 -> 1088)"
+        )
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    precision = (jax.lax.Precision.HIGHEST
+                 if cfg.compute_dtype == "float32"
+                 else jax.lax.Precision.DEFAULT)
+    wprec = (jax.lax.Precision.DEFAULT
+             if cfg.compute_dtype == "bfloat16" else None)
+    ws = cfg.window_size
+
+    def run(params, xs, ys):
+        nl = xs.shape[0]
+        both = _pyramid_spatial(params, jnp.concatenate([xs, ys], axis=0),
+                                MODEL_AXIS, nd, compute_dtype, precision)
+        idx = jax.lax.axis_index(MODEL_AXIS) if nd > 1 else 0
+        blocks_x, blocks_y, masks, cbs, chns = [], [], [], [], []
+        for f in both:
+            c = f.shape[-1]
+            cb, pad, mask = _channel_block_spec(c, nd, idx)
+            if nd > 1:
+                f = jnp.pad(f, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                # (2nl, H/nd, W, cb*nd) -> (2nl, H, W, cb); reshard in the
+                # pyramid's dtype (half the ICI bytes in bf16 mode)
+                f = jax.lax.all_to_all(f, MODEL_AXIS, split_axis=3,
+                                       concat_axis=1, tiled=True)
+            f = f.astype(jnp.float32)
+            blocks_x.append(f[:nl])
+            blocks_y.append(f[nl:])
+            masks.append(mask)
+            cbs.append(cb)
+            chns.append(c)
+
+        def csum(v):
+            """Finish a channel reduction across the model axis."""
+            return jax.lax.psum(v, MODEL_AXIS) if nd > 1 else v
+
+        # -- ps probability cascade (core.adists.compute_prob) ------------
+        ps_list = []
+        ps_prod = jnp.ones((nl, hh, ww, 1), jnp.float32)
+        for k in reversed(range(6)):
+            f = blocks_x[k]
+            h, w = f.shape[1], f.shape[2]
+            if fits_window(h, w, ws):
+                gsum = windowed_gamma_sum(f, ws, wprec,
+                                          min(cfg.channel_block, cbs[k]))
+                gamma = csum(gsum) / chns[k]
+                g_mean = gamma.mean(axis=(1, 2), keepdims=True)
+                g_std = gamma.std(axis=(1, 2), keepdims=True, ddof=1)
+                ps = jax.nn.sigmoid((gamma - g_mean) / (g_std + _C0))
+                ps = _minmax_norm(ps)
+                ps_prod = ps * _resize_align_corners(
+                    ps_prod, ps.shape[1], ps.shape[2]
+                )
+                ps_prod = _minmax_norm(ps_prod)
+            else:
+                m = f.mean(axis=(1, 2), keepdims=True)
+                v = jnp.square(f - m).mean(axis=(1, 2), keepdims=True)
+                gamma = csum((v / (m + _C0)).sum(-1, keepdims=True)) / chns[k]
+                ps = jax.nn.sigmoid(gamma)
+                ps_prod = ps * _resize_align_corners(ps_prod, 1, 1)
+            ps_list.append(ps_prod)
+        ps_list = ps_list[::-1]
+
+        # -- entropy channel weights (ADISTS.py:127-135,152-160) ----------
+        parts = []
+        for k in range(6):
+            ent = channel_entropy(blocks_x[k])  # (nl, cb); pads -> 0
+            ssum = csum(ent.sum(-1, keepdims=True))
+            parts.append(ent / (ssum + _C0) * chns[k])
+        weight = jnp.concatenate(parts, axis=1)
+        mask = jnp.concatenate(masks)[None, :]
+        weight = weight * mask
+        total_c = sum(chns)
+        weight = weight / csum(weight.sum(-1, keepdims=True))
+        w_mean = csum(weight.sum(-1, keepdims=True)) / total_c
+        w_var = csum((jnp.square(weight - w_mean) * mask)
+                     .sum(-1, keepdims=True)) / total_c
+        w_std = jnp.sqrt(w_var)
+        weight = jnp.clip(weight, w_mean - 0.5 * w_std,
+                          w_mean + 0.5 * w_std) * mask
+        weight = weight / csum(weight.sum(-1, keepdims=True))
+
+        # -- per-stage windowed T/S distortion maps ------------------------
+        offs = np.cumsum([0] + cbs)
+        d_total = jnp.zeros((nl,), jnp.float32)
+        d_map_full = jnp.zeros((nl, hh, ww), jnp.float32)
+        for k in reversed(range(6)):
+            fx = _spatial_l2_normalize(blocks_x[k])
+            fy = _spatial_l2_normalize(blocks_y[k])
+            h, w = fx.shape[1], fx.shape[2]
+            ps = ps_list[k]
+            wk = weight[:, offs[k]:offs[k + 1]]
+            if fits_window(h, w, ws):
+                d_part = _stage_dmap_blocked(
+                    fx, fy, ps, wk, ws, wprec,
+                    min(cfg.channel_block, cbs[k]),
+                )
+            else:
+                xm = fx.mean(axis=(1, 2), keepdims=True)
+                ym = fy.mean(axis=(1, 2), keepdims=True)
+                xv = jnp.square(fx - xm).mean(axis=(1, 2), keepdims=True)
+                yv = jnp.square(fy - ym).mean(axis=(1, 2), keepdims=True)
+                cov = (fx * fy).mean(axis=(1, 2), keepdims=True) - xm * ym
+                t = (2 * xm * ym + 1e-6) / (
+                    jnp.square(xm) + jnp.square(ym) + 1e-6
+                )
+                s = (2 * cov + 1e-6) / (xv + yv + 1e-6)
+                d_part = (((1.0 - ps) * t + ps * s)
+                          * wk[:, None, None, :]).sum(axis=-1)
+            d_map = csum(d_part)
+            if as_map:
+                d_map_full = d_map_full + resize_bilinear(
+                    d_map[..., None], hh, ww
+                )[..., 0]
+            d_total = d_total + d_map.mean(axis=(1, 2))
+
+        if as_map:
+            return 1.0 - d_map_full
+        return 1.0 - d_total
+
+    sharded = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, MODEL_AXIS), P(DATA_AXIS, MODEL_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_rep=False,
+    )
+    out = sharded(vgg_params, x, y)
+    if as_map:
+        return out
+    return out.mean() if as_loss else out
