@@ -243,6 +243,212 @@ ThreadPool& get_pool(int threads) {
   return *pool;
 }
 
+// ---------------------------------------------------------------------------
+// MP4 (ISO base media) demux. The reference decodes mp4s with OpenCV
+// (nerf_qa/data.py:378-392); this environment has no cv2/ffmpeg, so the
+// native layer demuxes the container itself: it walks the box tree to the
+// video track's sample tables (stsd/stsz/stsc/stco) and, for Motion-JPEG
+// tracks, decodes each sample with the libjpeg path above. Compressed
+// codecs (avc1/hev1/...) are reported to Python, which falls back to an
+// ffmpeg backend when one exists.
+
+Image decode_jpeg_mem(const uint8_t* buf, size_t len) {
+  Image out;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return out;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out.h = cinfo.output_height;
+  out.w = cinfo.output_width;
+  out.c = 3;
+  out.data.resize(size_t(out.h) * out.w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row =
+        out.data.data() + size_t(cinfo.output_scanline) * out.w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  out.ok = true;
+  return out;
+}
+
+uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+uint64_t be64(const uint8_t* p) {
+  return (uint64_t(be32(p)) << 32) | be32(p + 4);
+}
+
+// Find the first child box of the given type in [p, end); returns its
+// payload pointer and size, or nullptr.
+const uint8_t* find_box(const uint8_t* p, const uint8_t* end,
+                        const char* type, uint64_t* out_size) {
+  while (p + 8 <= end) {
+    uint64_t size = be32(p);
+    const uint8_t* payload = p + 8;
+    if (size == 1) {
+      if (p + 16 > end) return nullptr;
+      size = be64(p + 8);
+      payload = p + 16;
+    } else if (size == 0) {
+      size = uint64_t(end - p);
+    }
+    if (size < 8 || p + size > end) return nullptr;
+    if (memcmp(p + 4, type, 4) == 0) {
+      *out_size = size - (payload - p);
+      return payload;
+    }
+    p += size;
+  }
+  return nullptr;
+}
+
+struct Mp4Track {
+  char codec[5] = {0, 0, 0, 0, 0};
+  std::vector<uint64_t> offsets;  // absolute file offsets per sample
+  std::vector<uint32_t> sizes;    // bytes per sample
+  bool ok = false;
+};
+
+// Parse the first video trak's sample tables out of moov.
+Mp4Track parse_moov(const uint8_t* moov, uint64_t moov_size) {
+  Mp4Track t;
+  const uint8_t* p = moov;
+  const uint8_t* end = moov + moov_size;
+  while (p + 8 <= end) {
+    uint64_t tsz;
+    const uint8_t* trak = find_box(p, end, "trak", &tsz);
+    if (!trak) return t;
+    p = trak + tsz;  // next search starts after this trak
+    uint64_t sz;
+    const uint8_t* mdia = find_box(trak, trak + tsz, "mdia", &sz);
+    if (!mdia) continue;
+    const uint8_t* mdia_end = mdia + sz;
+    const uint8_t* hdlr = find_box(mdia, mdia_end, "hdlr", &sz);
+    if (!hdlr || sz < 12 || memcmp(hdlr + 8, "vide", 4) != 0) continue;
+    const uint8_t* minf = find_box(mdia, mdia_end, "minf", &sz);
+    if (!minf) continue;
+    const uint8_t* stbl = find_box(minf, minf + sz, "stbl", &sz);
+    if (!stbl) continue;
+    const uint8_t* stbl_end = stbl + sz;
+
+    uint64_t stsd_sz;
+    const uint8_t* stsd = find_box(stbl, stbl_end, "stsd", &stsd_sz);
+    if (!stsd || stsd_sz < 16 || be32(stsd + 4) < 1) continue;
+    memcpy(t.codec, stsd + 12, 4);  // first sample entry's fourcc
+
+    uint64_t stsz_sz;
+    const uint8_t* stsz = find_box(stbl, stbl_end, "stsz", &stsz_sz);
+    if (!stsz || stsz_sz < 12) continue;
+    uint32_t uniform = be32(stsz + 4);
+    uint32_t n_samples = be32(stsz + 8);
+    if (n_samples == 0) continue;
+    t.sizes.resize(n_samples);
+    if (uniform) {
+      for (uint32_t i = 0; i < n_samples; ++i) t.sizes[i] = uniform;
+    } else {
+      if (stsz_sz < 12 + 4ull * n_samples) continue;
+      for (uint32_t i = 0; i < n_samples; ++i)
+        t.sizes[i] = be32(stsz + 12 + 4 * i);
+    }
+
+    uint64_t stco_sz;
+    bool co64 = false;
+    const uint8_t* stco = find_box(stbl, stbl_end, "stco", &stco_sz);
+    if (!stco) {
+      stco = find_box(stbl, stbl_end, "co64", &stco_sz);
+      co64 = true;
+    }
+    if (!stco || stco_sz < 8) continue;
+    uint32_t n_chunks = be32(stco + 4);
+    if (stco_sz < 8 + (co64 ? 8ull : 4ull) * n_chunks) continue;
+
+    uint64_t stsc_sz;
+    const uint8_t* stsc = find_box(stbl, stbl_end, "stsc", &stsc_sz);
+    if (!stsc || stsc_sz < 8) continue;
+    uint32_t n_runs = be32(stsc + 4);
+    if (stsc_sz < 8 + 12ull * n_runs || n_runs == 0) continue;
+
+    // expand chunk runs -> per-sample absolute offsets
+    t.offsets.resize(n_samples);
+    uint32_t sample = 0;
+    for (uint32_t run = 0; run < n_runs && sample < n_samples; ++run) {
+      uint32_t first = be32(stsc + 8 + 12 * run);
+      uint32_t per = be32(stsc + 8 + 12 * run + 4);
+      uint32_t last = (run + 1 < n_runs)
+                          ? be32(stsc + 8 + 12 * (run + 1))
+                          : n_chunks + 1;
+      for (uint32_t chunk = first; chunk < last && sample < n_samples;
+           ++chunk) {
+        if (chunk > n_chunks) break;
+        uint64_t off = co64 ? be64(stco + 8 + 8 * (chunk - 1))
+                            : be32(stco + 8 + 4 * (chunk - 1));
+        for (uint32_t s = 0; s < per && sample < n_samples; ++s) {
+          t.offsets[sample] = off;
+          off += t.sizes[sample];
+          ++sample;
+        }
+      }
+    }
+    if (sample != n_samples) continue;
+    t.ok = true;
+    return t;
+  }
+  return t;
+}
+
+Mp4Track parse_mp4(const char* path) {
+  Mp4Track t;
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return t;
+  uint8_t hdr[16];
+  for (;;) {
+    long pos = ftell(fp);
+    if (fread(hdr, 1, 8, fp) != 8) break;
+    uint64_t size = be32(hdr);
+    uint64_t header = 8;
+    if (size == 1) {
+      if (fread(hdr + 8, 1, 8, fp) != 8) break;
+      size = be64(hdr + 8);
+      header = 16;
+    }
+    if (size < header) break;
+    if (memcmp(hdr + 4, "moov", 4) == 0) {
+      std::vector<uint8_t> moov(size - header);
+      if (fread(moov.data(), 1, moov.size(), fp) != moov.size()) break;
+      t = parse_moov(moov.data(), moov.size());
+      break;
+    }
+    if (fseek(fp, long(pos + size), SEEK_SET) != 0) break;
+  }
+  fclose(fp);
+  return t;
+}
+
+bool is_mjpeg(const char* codec) {
+  return memcmp(codec, "jpeg", 4) == 0 || memcmp(codec, "mjpa", 4) == 0 ||
+         memcmp(codec, "mjpg", 4) == 0 || memcmp(codec, "MJPG", 4) == 0;
+}
+
+bool read_sample(FILE* fp, uint64_t off, uint32_t size,
+                 std::vector<uint8_t>* buf) {
+  buf->resize(size);
+  if (fseek(fp, long(off), SEEK_SET) != 0) return false;
+  return fread(buf->data(), 1, size, fp) == size;
+}
+
 }  // namespace
 
 extern "C" {
@@ -294,6 +500,86 @@ int nqa_decode_resize_batch(const char** paths, int n, float* out, int out_h,
   std::unique_lock<std::mutex> lk(done_mu);
   done_cv.wait(lk, [&] { return done.load() == n; });
   return failures.load();
+}
+
+// Probe an mp4: fills the video codec fourcc (NUL-terminated, caller
+// provides >= 5 bytes), sample count, and frame dimensions (decoded from
+// the first sample for MJPEG; 0 for other codecs). Returns 0 on success,
+// 1 when the container has no parseable video track.
+int nqa_mp4_probe(const char* path, char* codec, int* n_frames, int* h,
+                  int* w) {
+  Mp4Track t = parse_mp4(path);
+  if (!t.ok) return 1;
+  memcpy(codec, t.codec, 5);
+  *n_frames = int(t.sizes.size());
+  *h = 0;
+  *w = 0;
+  if (is_mjpeg(t.codec) && !t.sizes.empty()) {
+    FILE* fp = fopen(path, "rb");
+    if (fp) {
+      std::vector<uint8_t> buf;
+      if (read_sample(fp, t.offsets[0], t.sizes[0], &buf)) {
+        Image img = decode_jpeg_mem(buf.data(), buf.size());
+        if (img.ok) {
+          *h = img.h;
+          *w = img.w;
+        }
+      }
+      fclose(fp);
+    }
+  }
+  return 0;
+}
+
+// Decode MJPEG samples [start, start+n) to float32 NHWC RGB in [0,1] at
+// (out_h, out_w). Returns frames written, -1 on parse failure, -2 for a
+// non-MJPEG codec (caller falls back to ffmpeg).
+int nqa_mp4_decode_frames(const char* path, int start, int n, float* out,
+                          int out_h, int out_w, int threads) {
+  Mp4Track t = parse_mp4(path);
+  if (!t.ok) return -1;
+  if (!is_mjpeg(t.codec)) return -2;
+  int total = int(t.sizes.size());
+  if (start < 0 || start >= total) return 0;
+  if (n <= 0 || start + n > total) n = total - start;
+
+  ThreadPool& tp = get_pool(threads);
+  std::atomic<int> failures{0};
+  std::atomic<int> done{0};
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+  size_t stride = size_t(out_h) * out_w * 3;
+  for (int i = 0; i < n; ++i) {
+    uint64_t off = t.offsets[start + i];
+    uint32_t size = t.sizes[start + i];
+    float* dst = out + stride * i;
+    tp.submit([path, off, size, dst, out_h, out_w, &failures, &done,
+               &done_cv, &done_mu] {
+      // per-task FILE*: no shared seek state across pool threads
+      FILE* fp = fopen(path, "rb");
+      std::vector<uint8_t> buf;
+      bool ok = fp && read_sample(fp, off, size, &buf);
+      if (fp) fclose(fp);
+      if (ok) {
+        Image img = decode_jpeg_mem(buf.data(), buf.size());
+        if (img.ok) {
+          std::vector<float> rgb = to_float_rgb(img);
+          resize_bilinear(rgb.data(), img.h, img.w, dst, out_h, out_w);
+        } else {
+          ok = false;
+        }
+      }
+      if (!ok) failures++;
+      {
+        std::lock_guard<std::mutex> lk(done_mu);
+        done++;
+      }
+      done_cv.notify_one();
+    });
+  }
+  std::unique_lock<std::mutex> lk(done_mu);
+  done_cv.wait(lk, [&] { return done.load() == n; });
+  return failures.load() ? -3 : n;
 }
 
 }  // extern "C"

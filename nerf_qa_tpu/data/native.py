@@ -49,6 +49,17 @@ def _load():
         ctypes.c_int,
     ]
     lib.nqa_decode_resize_batch.restype = ctypes.c_int
+    lib.nqa_mp4_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.nqa_mp4_probe.restype = ctypes.c_int
+    lib.nqa_mp4_decode_frames.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.nqa_mp4_decode_frames.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -97,4 +108,40 @@ def decode_resize_batch(paths: list[str], out_h: int, out_w: int,
     )
     if failures:
         raise IOError(f"{failures}/{n} decodes failed")
+    return out
+
+
+def mp4_probe(path: str) -> tuple[str, int, int, int]:
+    """Probe an mp4's video track: (codec fourcc, n_frames, h, w).
+    h/w are 0 for codecs the native layer can't decode (non-MJPEG)."""
+    lib = _load()
+    codec = ctypes.create_string_buffer(5)
+    n = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.nqa_mp4_probe(path.encode(), codec, ctypes.byref(n),
+                         ctypes.byref(h), ctypes.byref(w)):
+        raise IOError(f"no parseable video track: {path}")
+    return codec.value.decode("latin-1"), n.value, h.value, w.value
+
+
+def mp4_decode_frames(path: str, out_h: int, out_w: int, start: int = 0,
+                      max_frames: int = 0, threads: int = 8) -> np.ndarray:
+    """Decode an MJPEG mp4's samples [start, start+max_frames) into a
+    (T, out_h, out_w, 3) float32 batch (parallel across the pool).
+    Raises for non-MJPEG codecs — callers fall back to ffmpeg."""
+    lib = _load()
+    codec, total, _, _ = mp4_probe(path)
+    n = total - start if max_frames <= 0 else min(max_frames, total - start)
+    n = max(n, 0)
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    rc = lib.nqa_mp4_decode_frames(
+        path.encode(), start, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_h, out_w, threads,
+    )
+    if rc == -2:
+        raise IOError(f"unsupported mp4 codec '{codec}': {path}")
+    if rc < 0 or rc != n:
+        raise IOError(f"mp4 decode failed (rc={rc}): {path}")
     return out

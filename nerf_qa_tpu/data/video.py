@@ -1,11 +1,15 @@
-"""Video frame loading.
+"""Video frame loading and Motion-JPEG mp4 writing.
 
 Reference behavior: load_video_frames — OpenCV mp4 decode -> resized
 frame tensors (data.py:378-392) and create_test_video_dataloader
 (data.py:395-405).
 
-This environment has no cv2/ffmpeg; mp4 decode is gated on an available
-backend (imageio-ffmpeg, ffmpeg binary) with a clear error otherwise.
+This environment has no cv2; mp4s with Motion-JPEG tracks demux and
+decode fully natively (native/decoder.cpp ISO-BMFF parser + libjpeg);
+compressed codecs (avc1/hev1/...) fall back to an ffmpeg backend
+(imageio-ffmpeg or the ffmpeg binary) with a clear error otherwise.
+``write_mjpeg_mp4`` writes the native-decodable flavor, so frame trees
+can round-trip through a single-file container with no external tools.
 Frame-directory videos (the dominant on-disk format in the reference's
 datasets) always work.
 """
@@ -53,12 +57,19 @@ def load_video_frames(
         ]
         return np.stack(frames)
 
+    native_frames = _load_mp4_native(video_path, resize, keep_aspect_ratio,
+                                     max_frames)
+    if native_frames is not None:
+        return native_frames
+
     exe = _ffmpeg_exe()
     if exe is None:
         raise RuntimeError(
             "mp4 decode needs an ffmpeg backend (imageio-ffmpeg or the "
-            "ffmpeg binary); none found. Extract frames to a directory "
-            "(tools/convert_video.py) and pass the directory instead."
+            "ffmpeg binary) for non-MJPEG codecs; none found. Extract "
+            "frames to a directory (tools/convert_video.py) and pass the "
+            "directory instead, or remux as Motion-JPEG "
+            "(data.video.write_mjpeg_mp4) which decodes natively."
         )
     # probe dimensions via ffmpeg, then stream raw RGB frames
     import re
@@ -89,6 +100,149 @@ def load_video_frames(
     proc.stdout.close()
     proc.wait()
     return np.stack(frames)
+
+
+def _load_mp4_native(video_path: str, resize: bool, keep_aspect_ratio: bool,
+                     max_frames: int | None) -> np.ndarray | None:
+    """Decode an MJPEG mp4 through the native demuxer, applying the
+    prepare_image resize policy (DISTS_pt.py:210-217) at decode time.
+    Returns None when the native layer is unavailable or the codec needs
+    an ffmpeg backend."""
+    try:
+        from nerf_qa_tpu.data import native
+
+        if not native.available():
+            return None
+        codec, n, h, w = native.mp4_probe(video_path)
+        if h == 0:  # parseable container, non-MJPEG codec
+            return None
+        if resize and min(h, w) > 256:
+            if keep_aspect_ratio:
+                if h <= w:
+                    oh, ow = 256, max(1, round(w * 256 / h))
+                else:
+                    oh, ow = max(1, round(h * 256 / w)), 256
+            else:
+                oh, ow = 256, 256
+        else:
+            oh, ow = h, w
+        return native.mp4_decode_frames(
+            video_path, oh, ow, max_frames=max_frames or 0
+        )
+    except Exception:
+        return None
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full_box(fourcc: bytes, version: int, flags: int,
+              payload: bytes) -> bytes:
+    import struct
+
+    return _box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def write_mjpeg_mp4(path: str, frames: np.ndarray, fps: int = 30,
+                    quality: int = 90) -> None:
+    """Write (T,H,W,3) frames (uint8 or float in [0,1]) as a Motion-JPEG
+    mp4 (one JPEG per sample, one sample per chunk). The result decodes
+    through the native demuxer with no ffmpeg/cv2 — the single-file
+    counterpart of the reference's frame-directory layout."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    if frames.dtype != np.uint8:
+        frames = np.clip(np.asarray(frames) * 255.0 + 0.5, 0, 255).astype(
+            np.uint8
+        )
+    t, h, w = frames.shape[:3]
+    jpegs = []
+    for i in range(t):
+        buf = io.BytesIO()
+        Image.fromarray(frames[i]).save(buf, format="JPEG", quality=quality)
+        jpegs.append(buf.getvalue())
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(jpegs))
+    # absolute sample offsets: ftyp + mdat header
+    base = len(ftyp) + 8
+    offsets = []
+    off = base
+    for j in jpegs:
+        offsets.append(off)
+        off += len(j)
+
+    zeros = b"\x00" * 4
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        zeros * 2 + struct.pack(">II", 1000, t * 1000 // fps)
+        + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 3,
+        zeros * 2 + struct.pack(">I", 1) + zeros
+        + struct.pack(">I", t * 1000 // fps) + zeros * 2
+        + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        zeros * 2 + struct.pack(">II", fps, t)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        zeros + b"vide" + zeros * 3 + b"VideoHandler\x00",
+    )
+    # visual sample entry 'jpeg': baseline MJPEG needs no codec config box
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + zeros + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = _full_box(b"stsd", 0, 0,
+                     struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _full_box(b"stts", 0, 0,
+                     struct.pack(">III", 1, t, 1))
+    stsc = _full_box(b"stsc", 0, 0,
+                     struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, t)
+        + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+    )
+    stco = _full_box(
+        b"stco", 0, 0,
+        struct.pack(">I", t)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full_box(
+        b"dref", 0, 0,
+        struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b""),
+    )
+    dinf = _box(b"dinf", dref)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+
+    with open(path, "wb") as f:
+        f.write(ftyp + mdat + moov)
 
 
 def iter_video_batches(

@@ -52,12 +52,32 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="mp4/frame-dir -> frame PNGs")
     p.add_argument("--video", required=True,
                    help="mp4 file or directory of frames")
-    p.add_argument("--out-dir", required=True)
+    p.add_argument("--out-dir", default=None,
+                   help="frame-tree output root (required unless --to-mp4)")
     p.add_argument("--sizes", nargs="*", type=int, default=[256])
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--check", action="store_true",
                    help="PSNR round-trip sanity check on frame 0")
+    p.add_argument("--to-mp4", metavar="PATH", default=None,
+                   help="remux as a Motion-JPEG mp4 (decodes through the "
+                        "native demuxer, no ffmpeg needed) instead of "
+                        "extracting frame trees")
+    p.add_argument("--fps", type=int, default=30)
+    p.add_argument("--quality", type=int, default=90)
     args = p.parse_args(argv)
+    if args.to_mp4:
+        from nerf_qa_tpu.data.video import write_mjpeg_mp4
+
+        frames = load_video_frames(args.video, resize=False,
+                                   max_frames=args.max_frames)
+        os.makedirs(os.path.dirname(os.path.abspath(args.to_mp4)),
+                    exist_ok=True)
+        write_mjpeg_mp4(args.to_mp4, frames, fps=args.fps,
+                        quality=args.quality)
+        print(f"wrote: {args.to_mp4} ({len(frames)} frames)")
+        return
+    if not args.out_dir:
+        p.error("--out-dir is required unless --to-mp4 is given")
     written, frames = extract(args.video, args.out_dir, tuple(args.sizes),
                               max_frames=args.max_frames)
     print("wrote:", *written, sep="\n  ")
