@@ -1,0 +1,137 @@
+"""Score image pairs, frame directories, or mp4 videos with DISTS/ADISTS.
+
+Reference behavior, unified into one driver: the metric __main__ CLIs
+(DISTS_pt.py:220-238, ADISTS/ADISTS.py:206-224 — score one image pair)
+and the per-video evaluation loops (run_test2.py:278-297,
+train-nr.py:305-315 — per-frame scores mean-pooled to a video score).
+
+TPU design: frames batch through the jitted FrameScorer pipeline (bf16
+MXU convs + fused statistics by default; --fp32 for the parity oracle);
+ADISTS jits one fixed-shape batch step. Inputs can be single images,
+directories of frames, or mp4 files (MJPEG mp4s decode through the
+native demuxer with no ffmpeg).
+
+Examples:
+  python -m nerf_qa_tpu.tools.score --ref r0.png --dist r1.png
+  python -m nerf_qa_tpu.tools.score --ref gt_dir --dist render_dir \\
+      --metric both --full-size --out-csv scores.csv
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _load_frames(path: str, resize: bool, keep_aspect: bool) -> np.ndarray:
+    from nerf_qa_tpu.data.imaging import load_image_rgb, prepare_image
+    from nerf_qa_tpu.data.video import load_video_frames
+
+    if os.path.isdir(path) or path.endswith((".mp4", ".mov")):
+        return load_video_frames(path, resize=resize,
+                                 keep_aspect_ratio=keep_aspect)
+    img = prepare_image(load_image_rgb(path), resize=resize,
+                        keep_aspect_ratio=keep_aspect)
+    return img[None]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="DISTS/ADISTS scoring for image pairs or videos"
+    )
+    p.add_argument("--ref", required=True,
+                   help="reference image, frame directory, or mp4")
+    p.add_argument("--dist", required=True,
+                   help="distorted image, frame directory, or mp4")
+    p.add_argument("--metric", choices=("dists", "adists", "both"),
+                   default="dists")
+    p.add_argument("--full-size", action="store_true",
+                   help="score at source resolution (no resize-to-256)")
+    p.add_argument("--keep-aspect", action="store_true",
+                   help="aspect-preserving resize (shortest side 256)")
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 parity mode (default: bf16 serving path)")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--out-csv", default=None,
+                   help="write per-frame scores as CSV")
+    p.add_argument("--json", action="store_true",
+                   help="print one JSON line instead of text")
+    from nerf_qa_tpu.compat import pretrained
+
+    pretrained.add_backbone_args(p)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from nerf_qa_tpu.config import ADISTSConfig, DISTSConfig
+    from nerf_qa_tpu.core import adists
+    from nerf_qa_tpu.eval.video_scorer import FrameScorer
+
+    dtype = "float32" if args.fp32 else "bfloat16"
+    vgg = pretrained.resolve_vgg_params(getattr(args, "vgg_ckpt", None))
+
+    ref = _load_frames(args.ref, not args.full_size, args.keep_aspect)
+    dist = _load_frames(args.dist, not args.full_size, args.keep_aspect)
+    if ref.shape != dist.shape:
+        raise SystemExit(
+            f"ref/dist shapes differ: {ref.shape} vs {dist.shape}"
+        )
+    n = ref.shape[0]
+    bs = min(args.batch_size, n)
+
+    results: dict[str, np.ndarray] = {}
+    if args.metric in ("dists", "both"):
+        cfg = DISTSConfig(compute_dtype=dtype,
+                          stats_impl="xla" if args.fp32 else "pallas")
+        weights = pretrained.resolve_dists_weights(
+            cfg, getattr(args, "dists_weights", None)
+        )
+        scorer = FrameScorer(vgg, weights, cfg, resize_to=None)
+        results["dists"] = scorer.score_frames(dist, ref, batch_size=bs)
+    if args.metric in ("adists", "both"):
+        import jax
+
+        acfg = ADISTSConfig(compute_dtype=dtype)
+
+        @jax.jit
+        def astep(x, y):
+            return adists.forward(vgg, x, y, acfg, as_loss=False)
+
+        out = np.empty((n,), np.float32)
+        for lo in range(0, n, bs):
+            hi = min(lo + bs, n)
+            db, rb = dist[lo:hi], ref[lo:hi]
+            if hi - lo < bs:  # pad tail to keep the compiled shape
+                pad = bs - (hi - lo)
+                db = np.concatenate([db, np.repeat(db[-1:], pad, 0)])
+                rb = np.concatenate([rb, np.repeat(rb[-1:], pad, 0)])
+            scores = np.asarray(astep(jnp.asarray(db), jnp.asarray(rb)))
+            out[lo:hi] = scores[: hi - lo]
+        results["adists"] = out
+
+    if args.out_csv:
+        header = "frame," + ",".join(results)
+        rows = [
+            f"{i}," + ",".join(f"{results[m][i]:.6f}" for m in results)
+            for i in range(n)
+        ]
+        with open(args.out_csv, "w") as f:
+            f.write(header + "\n" + "\n".join(rows) + "\n")
+
+    summary = {
+        m: {"video_score": round(float(v.mean()), 6), "frames": n}
+        for m, v in results.items()
+    }
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        for m, s in summary.items():
+            print(f"{m}: {s['video_score']:.4f}  "
+                  f"(mean of {s['frames']} frame scores)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
