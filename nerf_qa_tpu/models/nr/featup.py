@@ -38,12 +38,18 @@ from nerf_qa_tpu.ops.resize import adaptive_avg_pool, resize_bicubic
 class JBU(nn.Module):
     """One learned 2x joint-bilateral upsampling stage
     (FeatUp ``JBULearnedRange(guidance_dim=3, feat_dim, key_dim=32,
-    radius=3)``)."""
+    radius=3)``).
+
+    ``fused=None`` auto-selects the Pallas kernel (ops/pallas/jbu) on
+    TPU — one HBM pass instead of 49 serialized shift passes (measured
+    143 ms -> ~10 ms of the NR train step) — and the lax.scan oracle
+    elsewhere. ``fused=False`` forces the oracle."""
 
     dim: int
     guidance_dim: int = 3
     key_dim: int = 32
     radius: int = 3
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, source: jax.Array, guidance: jax.Array,
@@ -68,10 +74,7 @@ class JBU(nn.Module):
         )
         temp = jnp.clip(jnp.exp(range_temp), 1e-4, 1e4)
 
-        pad = ((0, 0), (r, r), (r, r), (0, 0))
-        proj_p = jnp.pad(proj, pad, mode="reflect")
         hr = resize_bicubic(source, gh, gw)
-        hr_p = jnp.pad(hr, pad, mode="reflect")
 
         # spatial Gaussian over the [-1,1]-normalized offset grid
         # (FeatUp get_spatial_kernel: linspace(-1,1,diameter) meshgrid)
@@ -80,6 +83,17 @@ class JBU(nn.Module):
         spatial = jnp.exp(
             -jnp.asarray(sq.reshape(-1)) / (2.0 * sigma_spatial**2)
         )  # (d*d,)
+
+        fused = (jax.default_backend() == "tpu"
+                 if self.fused is None else self.fused)
+        if fused and gh % 8 == 0 and gw % 16 == 0:
+            from nerf_qa_tpu.ops.pallas.jbu import jbu_filter
+
+            return jbu_filter(hr, proj, spatial, temp, radius=r)
+
+        pad = ((0, 0), (r, r), (r, r), (0, 0))
+        proj_p = jnp.pad(proj, pad, mode="reflect")
+        hr_p = jnp.pad(hr, pad, mode="reflect")
 
         # range logits for every shift: <proj(center), proj(shifted)>.
         # Both shift loops run as lax.scan so only ONE shifted temp is
@@ -126,6 +140,7 @@ class JBUStack(nn.Module):
     126-131)."""
 
     dim: int
+    fused: bool | None = None  # see JBU.fused
 
     @nn.compact
     def __call__(self, feats: jax.Array, image: jax.Array,
@@ -137,7 +152,9 @@ class JBUStack(nn.Module):
         for i in range(1, 5):
             h, w = f.shape[1:3]
             g = adaptive_avg_pool(image, h * 2, w * 2)
-            f = JBU(self.dim, name=f"up{i}")(f, g, deterministic)
+            f = JBU(self.dim, name=f"up{i}", fused=self.fused)(
+                f, g, deterministic
+            )
             levels.append(f)
         levels = [
             fixup(drop(x, deterministic)) * 0.1 + x for x in levels

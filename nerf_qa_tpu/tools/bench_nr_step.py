@@ -1,0 +1,97 @@
+"""NR train-step throughput measurement (one dtype/remat variant per run).
+
+Measures the full v8 training step (frozen ViT+VGG encode, decoder
+forward/backward, optimizer update) on the attached device at the
+production shapes (256² render / 224² ViT input), reporting ms/step and
+frames/s. One variant per process: rerunning in a fresh process avoids
+HBM fragmentation and compilation-cache crosstalk between variants.
+
+Usage:
+  python -m nerf_qa_tpu.tools.bench_nr_step --variant bf16r --batch 4
+
+Variants: f32 (fp32 decoder), bf16 (bf16 decoder convs), bf16r (bf16 +
+jax.checkpoint on each RefineUp stage). PARITY.md records the measured
+numbers; train_nr exposes the same knobs as --decoder-dtype/--remat.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="NR train-step benchmark")
+    p.add_argument("--variant", choices=("f32", "bf16", "bf16r"),
+                   default="bf16")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--vit-depth", type=int, default=12)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from nerf_qa_tpu.config import DISTSConfig, NRModelConfig, TrainConfig
+    from nerf_qa_tpu.core.vgg import init_vgg16_params
+    from nerf_qa_tpu.models.nr.model import NRModel
+    from nerf_qa_tpu.models.nr.vit import ViTS14
+    from nerf_qa_tpu.train.nr_train import NRTrainer
+
+    b = args.batch
+    dd = "float32" if args.variant == "f32" else "bfloat16"
+    remat = args.variant.endswith("r")
+    rng = np.random.default_rng(0)
+    gt = rng.random((b, 256, 256, 3), dtype=np.float32)
+    render = np.clip(gt + 0.05, 0, 1)
+    r224 = rng.random((b, 224, 224, 3), dtype=np.float32)
+
+    cfg = NRModelConfig(
+        transformer_decoder_depth=2, refine_up_depth=2, dropout_rate=0.2,
+        decoder_dtype=dd, remat=remat,
+        dists=DISTSConfig(compute_dtype="bfloat16"),
+    )
+    model = NRModel(init_vgg16_params(seed=0), cfg=cfg,
+                    vit=ViTS14(depth=args.vit_depth))
+    trainer = NRTrainer(
+        model, TrainConfig(lr=1e-4, schedule="constant", batch_size=b),
+        steps_per_epoch=100,
+    )
+    params, state, opt, key = trainer.init(seed=0)
+
+    t0 = time.perf_counter()
+    params, state, opt, losses, key = trainer.train_step(
+        params, state, opt, gt, render, r224, key
+    )
+    jax.block_until_ready(losses["combined"])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        params, state, opt, losses, key = trainer.train_step(
+            params, state, opt, gt, render, r224, key
+        )
+    jax.block_until_ready(losses["combined"])
+    dt = (time.perf_counter() - t0) / args.iters
+
+    result = {
+        "variant": args.variant,
+        "batch": b,
+        "ms_per_step": round(dt * 1e3, 1),
+        "frames_per_sec": round(b / dt, 2),
+        "compile_s": round(compile_s, 1),
+        "loss": round(float(losses["combined"]), 4),
+        "device": str(jax.devices()[0]),
+    }
+    if args.json:
+        print(json.dumps(result))
+    else:
+        print(f"{args.variant} B={b}: {result['ms_per_step']} ms/step "
+              f"({result['frames_per_sec']} fr/s) "
+              f"compile {result['compile_s']}s loss {result['loss']}")
+
+
+if __name__ == "__main__":
+    main()
