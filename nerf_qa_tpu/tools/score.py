@@ -11,10 +11,18 @@ ADISTS jits one fixed-shape batch step. Inputs can be single images,
 directories of frames, or mp4 files (MJPEG mp4s decode through the
 native demuxer with no ffmpeg).
 
+No-reference mode (--nr): scores renders WITHOUT ground truth through a
+trained NR model (the capability the reference only exposes inside
+train-nr.py's test loop, :299-375) — pass a train_nr orbax checkpoint
+via --nr-ckpt and the same architecture flags the model was trained
+with.
+
 Examples:
   python -m nerf_qa_tpu.tools.score --ref r0.png --dist r1.png
   python -m nerf_qa_tpu.tools.score --ref gt_dir --dist render_dir \\
       --metric both --full-size --out-csv scores.csv
+  python -m nerf_qa_tpu.tools.score --dist render_dir --nr \\
+      --nr-ckpt runs/nr/ckpt --out-csv nr_scores.csv
 """
 from __future__ import annotations
 
@@ -37,14 +45,94 @@ def _load_frames(path: str, resize: bool, keep_aspect: bool) -> np.ndarray:
     return img[None]
 
 
+def _score_nr(args, vgg) -> int:
+    """No-reference scoring path: render -> (256², 224²) -> NRModel
+    forward (train-nr.py:305-315 per-video semantics)."""
+    import jax
+
+    from nerf_qa_tpu.compat import pretrained
+    from nerf_qa_tpu.compat.checkpoint import restore_checkpoint
+    from nerf_qa_tpu.config import DISTSConfig, NRModelConfig
+    from nerf_qa_tpu.data.imaging import resize_image
+    from nerf_qa_tpu.models.nr.model import NRModel
+    from nerf_qa_tpu.models.nr.vit import ViTS14
+
+    if not args.nr_ckpt:
+        raise SystemExit("--nr needs --nr-ckpt (a train_nr checkpoint dir)")
+    frames = _load_frames(args.dist, resize=False, keep_aspect=False)
+    r256 = np.stack([resize_image(f, 256, 256) for f in frames])
+    r224 = np.stack([resize_image(f, 224, 224) for f in frames])
+
+    cfg = NRModelConfig(
+        version=args.nr_version,
+        refine_up_depth=args.refine_up_depth,
+        transformer_decoder_depth=args.transformer_decoder_depth,
+        dists=DISTSConfig(
+            compute_dtype="float32" if args.fp32 else "bfloat16"
+        ),
+    )
+    model = NRModel(
+        vgg, cfg=cfg, vit=ViTS14(depth=args.vit_depth),
+        vit_params=pretrained.resolve_vit_params(
+            getattr(args, "vit_ckpt", None), depth=args.vit_depth
+        ),
+        jbu_params=(pretrained.resolve_jbu_params(
+            getattr(args, "jbu_ckpt", None)) if cfg.version >= 7 else None),
+    )
+    restored = restore_checkpoint(args.nr_ckpt)
+    if restored is None:
+        raise SystemExit(f"no checkpoint found in {args.nr_ckpt}")
+    _, ckpt = restored
+    params, state = ckpt["params"], ckpt.get("state") or {}
+
+    step = jax.jit(
+        lambda p, s, a, b: model.forward(p, a, b, state=s)
+    )
+    n = r256.shape[0]
+    bs = min(args.batch_size, n)
+    out = np.empty((n,), np.float32)
+    for lo in range(0, n, bs):
+        hi = min(lo + bs, n)
+        a, b = r256[lo:hi], r224[lo:hi]
+        if hi - lo < bs:
+            pad = bs - (hi - lo)
+            a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+            b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
+        scores = np.asarray(step(params, state, a, b))
+        out[lo:hi] = scores[: hi - lo]
+
+    if args.out_csv:
+        rows = [f"{i},{out[i]:.6f}" for i in range(n)]
+        with open(args.out_csv, "w") as f:
+            f.write("frame,nr_score\n" + "\n".join(rows) + "\n")
+    summary = {"nr": {"video_score": round(float(out.mean()), 6),
+                      "frames": n}}
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        print(f"nr: {summary['nr']['video_score']:.4f}  "
+              f"(mean of {n} frame scores)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
-        description="DISTS/ADISTS scoring for image pairs or videos"
+        description="DISTS/ADISTS/NR scoring for image pairs or videos"
     )
-    p.add_argument("--ref", required=True,
-                   help="reference image, frame directory, or mp4")
+    p.add_argument("--ref", default=None,
+                   help="reference image, frame directory, or mp4 "
+                        "(not needed with --nr)")
     p.add_argument("--dist", required=True,
                    help="distorted image, frame directory, or mp4")
+    p.add_argument("--nr", action="store_true",
+                   help="no-reference mode: score renders with a trained "
+                        "NR model (needs --nr-ckpt)")
+    p.add_argument("--nr-ckpt", default=None,
+                   help="train_nr orbax checkpoint directory")
+    p.add_argument("--nr-version", type=int, default=8)
+    p.add_argument("--refine-up-depth", type=int, default=2)
+    p.add_argument("--transformer-decoder-depth", type=int, default=2)
+    p.add_argument("--vit-depth", type=int, default=12)
     p.add_argument("--metric", choices=("dists", "adists", "both"),
                    default="dists")
     p.add_argument("--full-size", action="store_true",
@@ -72,6 +160,11 @@ def main(argv=None) -> int:
     dtype = "float32" if args.fp32 else "bfloat16"
     vgg = pretrained.resolve_vgg_params(getattr(args, "vgg_ckpt", None))
 
+    if args.nr:
+        return _score_nr(args, vgg)
+
+    if args.ref is None:
+        p.error("--ref is required (or use --nr for no-reference mode)")
     ref = _load_frames(args.ref, not args.full_size, args.keep_aspect)
     dist = _load_frames(args.dist, not args.full_size, args.keep_aspect)
     if ref.shape != dist.shape:

@@ -87,6 +87,42 @@ def test_mp4_input(tmp_path, capsys):
     assert out["dists"]["video_score"] > 0.0
 
 
+def test_nr_mode(pair_dirs, tmp_path, capsys):
+    """--nr scores renders without references through a checkpointed NR
+    model (train-nr.py:305-315 video semantics)."""
+    import jax
+
+    from nerf_qa_tpu.compat.checkpoint import save_checkpoint
+    from nerf_qa_tpu.config import DISTSConfig, NRModelConfig
+    from nerf_qa_tpu.core.vgg import init_vgg16_params
+    from nerf_qa_tpu.models.nr.model import NRModel
+    from nerf_qa_tpu.models.nr.vit import ViTS14
+
+    cfg = NRModelConfig(version=8, refine_up_depth=1,
+                        transformer_decoder_depth=0,
+                        dists=DISTSConfig(compute_dtype="float32"))
+    model = NRModel(init_vgg16_params(seed=0), cfg=cfg, vit=ViTS14(depth=1))
+    params, state = model.init(seed=0)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 1, {"params": params, "state": state})
+
+    _, dist_dir = pair_dirs
+    csv = str(tmp_path / "nr.csv")
+    rc = score_main([
+        "--dist", dist_dir, "--nr", "--nr-ckpt", ckpt_dir,
+        "--nr-version", "8", "--refine-up-depth", "1",
+        "--transformer-decoder-depth", "0", "--vit-depth", "1",
+        "--fp32", "--batch-size", "3", "--out-csv", csv, "--json",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["nr"]["frames"] == 3
+    assert np.isfinite(out["nr"]["video_score"])
+    lines = open(csv).read().strip().splitlines()
+    assert lines[0] == "frame,nr_score"
+    assert len(lines) == 4
+
+
 def test_shape_mismatch_errors(pair_dirs, tmp_path):
     ref_dir, _ = pair_dirs
     other = tmp_path / "other"
