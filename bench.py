@@ -34,7 +34,7 @@ def main() -> None:
     from nerf_qa_tpu.core import dists
     from nerf_qa_tpu.ops.resize import resize_bilinear
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     n_buffers = 4
 
@@ -119,13 +119,22 @@ def main() -> None:
     fps_adists = batch * iters / (time.perf_counter() - t0)
 
     # full-resolution (no-downscale) scoring at native 1080p: DISTS via
-    # fused Pallas moments, ADISTS via the channel-blocked windowed path
-    fr_batch, fr_iters = 2, 4
-    fr_pairs = [(d[:fr_batch] / np.float32(255.0),
-                 r[:fr_batch] / np.float32(255.0))
-                for d, r in dev_pairs[:2]]
-    fr_pairs = [(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
-                for a, b in fr_pairs]
+    # fused Pallas moments, ADISTS via the channel-blocked windowed path.
+    # Free the big resize-pipeline buffers first (batch 128 keeps ~6 GB
+    # resident, which distorts the HBM-bound full-res timings).
+    fr_batch, fr_iters = 2, 8
+    fr_pairs = [
+        (
+            jnp.asarray(d[:fr_batch].astype(np.float32) / 255.0),
+            jnp.asarray(r[:fr_batch].astype(np.float32) / 255.0),
+        )
+        for d, r in host_pairs[:2]
+    ]
+    jax.block_until_ready(fr_pairs)
+    del dev_pairs, out, outs
+    import gc
+
+    gc.collect()
 
     @jax.jit
     def dists_fullres(x, y):

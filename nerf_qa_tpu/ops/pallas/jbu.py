@@ -161,6 +161,11 @@ def jbu_filter(hr: jax.Array, proj: jax.Array, spatial: jax.Array,
     Returns (N, H, W, C) float32 — identical math to the scan
     formulation in models/nr/featup.py.
 
+    Forward-only: no VJP is defined (the JBU runs inside the FROZEN
+    encoder — NRModel stop_gradients its outputs, model_nr_v8.py:156-166
+    semantics). To fine-tune the upsampler itself, use the scan oracle
+    (``JBU(fused=False)``), which is differentiable.
+
     H must divide by the 8-row tile; W must be a multiple of 16 (all JBU
     pyramid levels are powers of two >= 32).
     """
