@@ -59,6 +59,10 @@ class ADISTSConfig:
     # stage-1 moment buffer is ~0.5 GB; five are live at once unblocked)
     block_pixels_threshold: int = 448 * 448
     channel_block: int = 16
+    # opt-in fused Pallas windowed-T/S kernel (ops/pallas/windowed_tsd);
+    # measured slower than the banded-MXU path on v5e at 256² — see the
+    # note in core/adists.forward. Default off.
+    fused_tsd: bool | None = False
 
     def replace(self, **kw) -> "ADISTSConfig":
         return dataclasses.replace(self, **kw)

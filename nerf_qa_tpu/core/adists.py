@@ -249,6 +249,14 @@ def forward(
     for c in chns:
         offsets.append(offsets[-1] + c)
 
+    # fused Pallas T/S kernel (ops/pallas/windowed_tsd): OFF by default —
+    # measured SLOWER than the banded-MXU formulation at 256² on v5e
+    # (336 vs 425 fr/s): the VPU 21-tap pass loses to the MXU's
+    # waste-tolerant dense band matmuls, and the XLA path is
+    # bandwidth-bound, not pass-count-bound, at these sizes. Kept as an
+    # opt-in reference formulation (fused_tsd=True).
+    fused_tsd = bool(cfg.fused_tsd)
+
     B, H, W = x.shape[0], x.shape[1], x.shape[2]
     d_total = jnp.zeros((B,), jnp.float32)
     d_map_full = jnp.zeros((B, H, W), jnp.float32)
@@ -259,6 +267,21 @@ def forward(
         h, w = fx.shape[1], fx.shape[2]
         ps = ps_x[k]  # (N, hk, wk, 1), broadcasts over channels
         wk_weights = weight[:, offsets[k]:offsets[k + 1]]
+        if fused_tsd and fits_window(h, w, cfg.window_size):
+            from nerf_qa_tpu.ops.pallas.windowed_tsd import (
+                fits_kernel,
+                windowed_tsd,
+            )
+
+            if fits_kernel(h, w, cfg.window_size):
+                d_map = windowed_tsd(fx, fy, ps, wk_weights,
+                                     cfg.window_size)
+                if as_map:
+                    d_map_full = d_map_full + resize_bilinear(
+                        d_map[..., None], H, W
+                    )[..., 0]
+                d_total = d_total + d_map.mean(axis=(1, 2))
+                continue
         if fits_window(h, w, cfg.window_size) \
                 and h * w > cfg.block_pixels_threshold:
             # full-resolution path: channel-blocked moments (see
