@@ -107,6 +107,26 @@ def windowed_gamma_sum(f: jax.Array, window_size: int, precision,
     return tot[..., None]
 
 
+def _prob_update(gamma: jax.Array, ps_prod: jax.Array,
+                 fits: bool) -> jax.Array:
+    """One coarse->fine step of the ps probability cascade
+    (ADISTS.py:78-97): sigmoid-normalized gamma, min/max renorm,
+    multiplied into the bilinear-upsampled running product. Returns the
+    new cascaded product — which IS the stage's ps map. Stages too small
+    for the window (``fits=False``) use plain sigmoid(gamma) and no
+    renorm (the reference reaches that branch via try/except)."""
+    if fits:
+        g_mean = gamma.mean(axis=(1, 2), keepdims=True)
+        # torch .std() default is unbiased (ddof=1) — ADISTS.py:83
+        g_std = gamma.std(axis=(1, 2), keepdims=True, ddof=1)
+        ps = jax.nn.sigmoid((gamma - g_mean) / (g_std + _C0))
+        ps = _minmax_norm(ps)
+        hk, wk = ps.shape[1], ps.shape[2]
+        return _minmax_norm(ps * _resize_align_corners(ps_prod, hk, wk))
+    ps = jax.nn.sigmoid(gamma)
+    return ps * _resize_align_corners(ps_prod, 1, 1)
+
+
 def compute_prob(feats: Sequence[jax.Array], window_size: int = 21,
                  precision=None, block_pixels: int = 448 * 448,
                  channel_block: int = 16) -> list[jax.Array]:
@@ -117,7 +137,8 @@ def compute_prob(feats: Sequence[jax.Array], window_size: int = 21,
     for k in range(len(feats) - 1, -1, -1):
         f = feats[k].astype(jnp.float32)
         n, h, w, c = f.shape
-        if fits_window(h, w, window_size):
+        fits = fits_window(h, w, window_size)
+        if fits:
             if h * w > block_pixels:
                 gamma = windowed_gamma_sum(f, window_size, precision,
                                            channel_block) / c
@@ -126,20 +147,11 @@ def compute_prob(feats: Sequence[jax.Array], window_size: int = 21,
                 x_var = window_mean(f * f, window_size,
                                     precision=precision) - jnp.square(x_mean)
                 gamma = (x_var / (x_mean + _C0)).mean(axis=-1, keepdims=True)
-            g_mean = gamma.mean(axis=(1, 2), keepdims=True)
-            # torch .std() default is unbiased (ddof=1) — ADISTS.py:83
-            g_std = gamma.std(axis=(1, 2), keepdims=True, ddof=1)
-            ps = jax.nn.sigmoid((gamma - g_mean) / (g_std + _C0))
-            ps = _minmax_norm(ps)
-            hk, wk = ps.shape[1], ps.shape[2]
-            ps_prod = ps * _resize_align_corners(ps_prod, hk, wk)
-            ps_prod = _minmax_norm(ps_prod)
         else:
             x_mean = f.mean(axis=(1, 2), keepdims=True)
             x_var = jnp.square(f - x_mean).mean(axis=(1, 2), keepdims=True)
             gamma = (x_var / (x_mean + _C0)).mean(axis=-1, keepdims=True)
-            ps = jax.nn.sigmoid(gamma)
-            ps_prod = ps * _resize_align_corners(ps_prod, 1, 1)
+        ps_prod = _prob_update(gamma, ps_prod, fits)
         ps_list.append(ps_prod)
     return ps_list[::-1]
 
@@ -230,11 +242,8 @@ def forward(
     feats_y = [f[n:] for f in both]
 
     # serving fast path: bf16-grade MXU matmuls for the windowed stats
-    wprec = (jax.lax.Precision.DEFAULT
-             if cfg.compute_dtype == "bfloat16" else None)
-    ps_x = compute_prob(feats_x, cfg.window_size, precision=wprec,
-                        block_pixels=cfg.block_pixels_threshold,
-                        channel_block=cfg.channel_block)
+    serving = cfg.compute_dtype == "bfloat16"
+    wprec = jax.lax.Precision.DEFAULT if serving else None
 
     # entropy channel weights, clamped to mean +- 0.5 std (ADISTS.py:152-160)
     weight = jnp.concatenate([entropy_weights(f) for f in feats_x], axis=1)
@@ -261,35 +270,64 @@ def forward(
     d_total = jnp.zeros((B,), jnp.float32)
     d_map_full = jnp.zeros((B, H, W), jnp.float32)
 
+    # Single coarse->fine loop: the ps probability cascade and the T/S
+    # statistics iterate stages in the same order, and spatial L2
+    # normalization (F.normalize over the plane, ADISTS.py:166-167) is a
+    # per-(image,channel) SCALAR — so each stage's five raw windowed
+    # moments (Wf, Wg, Wf², Wg², Wfg) are computed ONCE and serve both
+    # gamma (raw-feature var/mean, compute_prob's input) and the
+    # normalized T/S moments (scaled by the L2 norms afterwards). This
+    # replaces the former 7 windowed passes per stage (2 in compute_prob
+    # + 5 on pre-normalized features) with 5, fed with bf16 operands in
+    # serving mode.
+    ps_prod = jnp.ones(feats_x[0].shape[:3] + (1,), jnp.float32)
     for k in range(len(chns) - 1, -1, -1):
-        fx = _spatial_l2_normalize(feats_x[k].astype(jnp.float32))
-        fy = _spatial_l2_normalize(feats_y[k].astype(jnp.float32))
-        h, w = fx.shape[1], fx.shape[2]
-        ps = ps_x[k]  # (N, hk, wk, 1), broadcasts over channels
+        f_raw, g_raw = feats_x[k], feats_y[k]
+        h, w, c = f_raw.shape[1], f_raw.shape[2], f_raw.shape[3]
+        fits = fits_window(h, w, cfg.window_size)
         wk_weights = weight[:, offsets[k]:offsets[k + 1]]
-        if fused_tsd and fits_window(h, w, cfg.window_size):
+        f32 = f_raw.astype(jnp.float32)
+        g32 = g_raw.astype(jnp.float32)
+        # inverse spatial L2 norms, (N,1,1,C) — fp32 accumulation
+        inv_x = 1.0 / jnp.maximum(
+            jnp.sqrt(jnp.sum(jnp.square(f32), axis=(1, 2), keepdims=True)),
+            1e-12,
+        )
+        inv_y = 1.0 / jnp.maximum(
+            jnp.sqrt(jnp.sum(jnp.square(g32), axis=(1, 2), keepdims=True)),
+            1e-12,
+        )
+
+        if fused_tsd and fits:
             from nerf_qa_tpu.ops.pallas.windowed_tsd import (
                 fits_kernel,
                 windowed_tsd,
             )
 
             if fits_kernel(h, w, cfg.window_size):
-                d_map = windowed_tsd(fx, fy, ps, wk_weights,
-                                     cfg.window_size)
+                wf = window_mean(f32, cfg.window_size, precision=wprec)
+                vf = window_mean(f32 * f32, cfg.window_size,
+                                 precision=wprec) - jnp.square(wf)
+                gamma = (vf / (wf + _C0)).mean(axis=-1, keepdims=True)
+                ps_prod = _prob_update(gamma, ps_prod, True)
+                d_map = windowed_tsd(f32 * inv_x, g32 * inv_y, ps_prod,
+                                     wk_weights, cfg.window_size)
                 if as_map:
                     d_map_full = d_map_full + resize_bilinear(
                         d_map[..., None], H, W
                     )[..., 0]
                 d_total = d_total + d_map.mean(axis=(1, 2))
                 continue
-        if fits_window(h, w, cfg.window_size) \
-                and h * w > cfg.block_pixels_threshold:
+        if fits and h * w > cfg.block_pixels_threshold:
             # full-resolution path: channel-blocked moments (see
             # _stage_dmap_blocked) — 1080p stage maps never materialize
             # at full channel width
+            gamma = windowed_gamma_sum(f32, cfg.window_size, wprec,
+                                       cfg.channel_block) / c
+            ps_prod = _prob_update(gamma, ps_prod, True)
             d_map = _stage_dmap_blocked(
-                fx, fy, ps, wk_weights, cfg.window_size, wprec,
-                cfg.channel_block,
+                f32 * inv_x, g32 * inv_y, ps_prod, wk_weights,
+                cfg.window_size, wprec, cfg.channel_block,
             )
             if as_map:
                 d_map_full = d_map_full + resize_bilinear(
@@ -297,22 +335,45 @@ def forward(
                 )[..., 0]
             d_total = d_total + d_map.mean(axis=(1, 2))
             continue
-        if fits_window(h, w, cfg.window_size):
-            x_mean = window_mean(fx, cfg.window_size, precision=wprec)
-            y_mean = window_mean(fy, cfg.window_size, precision=wprec)
-            x_var = window_mean(fx * fx, cfg.window_size,
-                                precision=wprec) - jnp.square(x_mean)
-            y_var = window_mean(fy * fy, cfg.window_size,
-                                precision=wprec) - jnp.square(y_mean)
-            xy_cov = window_mean(fx * fy, cfg.window_size,
-                                 precision=wprec) - x_mean * y_mean
+        if fits:
+            # Five shared raw fp32 moment maps. The maps must stay fp32:
+            # var/cov come from cancelling subtractions (W(f²) - W(f)²)
+            # whose local-mean² term dominates the local variance in
+            # smooth regions, and the ps cascade's min/max
+            # renormalization turns a single window's map rounding into
+            # a coherent whole-map shift — bf16 maps were measured at
+            # ~5e-3 score error (vs ~1e-5 for this formulation).
+            # Serving keeps its speed from DEFAULT-precision matmuls
+            # (bf16 operand rounding inside the MXU averages over the
+            # 21 taps) and from the 7->5 window-pass sharing.
+            wf = window_mean(f32, cfg.window_size, precision=wprec)
+            wg = window_mean(g32, cfg.window_size, precision=wprec)
+            vf = window_mean(f32 * f32, cfg.window_size,
+                             precision=wprec) - jnp.square(wf)
+            vg = window_mean(g32 * g32, cfg.window_size,
+                             precision=wprec) - jnp.square(wg)
+            cov_raw = window_mean(f32 * g32, cfg.window_size,
+                                  precision=wprec) - wf * wg
+            gamma = (vf / (wf + _C0)).mean(axis=-1, keepdims=True)
+            ps_prod = _prob_update(gamma, ps_prod, True)
+            x_mean, y_mean = inv_x * wf, inv_y * wg
+            x_var = jnp.square(inv_x) * vf
+            y_var = jnp.square(inv_y) * vg
+            xy_cov = inv_x * inv_y * cov_raw
         else:
-            x_mean = fx.mean(axis=(1, 2), keepdims=True)
-            y_mean = fy.mean(axis=(1, 2), keepdims=True)
-            x_var = jnp.square(fx - x_mean).mean(axis=(1, 2), keepdims=True)
-            y_var = jnp.square(fy - y_mean).mean(axis=(1, 2), keepdims=True)
-            xy_cov = (fx * fy).mean(axis=(1, 2), keepdims=True) - x_mean * y_mean
+            mf = f32.mean(axis=(1, 2), keepdims=True)
+            mg = g32.mean(axis=(1, 2), keepdims=True)
+            vf = jnp.square(f32 - mf).mean(axis=(1, 2), keepdims=True)
+            vg = jnp.square(g32 - mg).mean(axis=(1, 2), keepdims=True)
+            cov_raw = (f32 * g32).mean(axis=(1, 2), keepdims=True) - mf * mg
+            gamma = (vf / (mf + _C0)).mean(axis=-1, keepdims=True)
+            ps_prod = _prob_update(gamma, ps_prod, False)
+            x_mean, y_mean = inv_x * mf, inv_y * mg
+            x_var = jnp.square(inv_x) * vf
+            y_var = jnp.square(inv_y) * vg
+            xy_cov = inv_x * inv_y * cov_raw
 
+        ps = ps_prod  # (N, hk, wk, 1), broadcasts over channels
         t_map = (2 * x_mean * y_mean + 1e-6) / (
             jnp.square(x_mean) + jnp.square(y_mean) + 1e-6
         )

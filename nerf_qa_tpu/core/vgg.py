@@ -78,16 +78,22 @@ def _conv_relu(x: jax.Array, kernel: jax.Array, bias: jax.Array,
         else jax.lax.Precision.DEFAULT
     )
     x = x.astype(compute_dtype)
+    # Serving (bf16) mode emits bf16 straight from the conv: TPU convs
+    # can't fuse elementwise producers/consumers, so an fp32
+    # ``preferred_element_type`` would materialize every activation at
+    # 4 B/elem plus a separate convert pass (~2x the pyramid's HBM
+    # traffic). MXU accumulation is fp32 either way; bf16 only rounds
+    # the output write. fp32 (parity) mode keeps fp32 buffers.
     y = jax.lax.conv_general_dilated(
         x,
         kernel.astype(compute_dtype),
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
         precision=precision,
     )
-    return jax.nn.relu(y + bias.astype(jnp.float32))
+    return jax.nn.relu(y + bias.astype(compute_dtype))
 
 
 def normalize_imagenet(x: jax.Array) -> jax.Array:
@@ -148,8 +154,11 @@ def vgg16_pyramid(
     h = normalize_imagenet(x.astype(jnp.float32))
     for si in range(5):
         if si > 0:
-            h = l2pool(h, precision=pool_precision).astype(compute_dtype)
+            # h is already compute_dtype (conv output); the pool keeps
+            # the flow dtype so serving never round-trips through fp32
+            # activation buffers
+            h = l2pool(h, precision=pool_precision)
         for layer in params[f"stage{si + 1}"]:
             h = _conv_relu(h, layer["kernel"], layer["bias"], compute_dtype)
-        feats.append(h.astype(compute_dtype))
+        feats.append(h)
     return feats

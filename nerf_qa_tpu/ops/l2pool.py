@@ -50,11 +50,17 @@ def l2pool(
     c = x.shape[-1]
     pad = (filter_size - 2) // 2
     win = _hann_kernel(filter_size)
+    # The pool runs in the caller's flow dtype: TPU convs can't fuse
+    # elementwise producers, so the squared input is a materialized
+    # buffer — squaring in fp32 when the pyramid flows bf16 would double
+    # its HBM traffic. HIGHEST precision (the fp32 parity path) always
+    # computes in fp32.
+    dt = jnp.float32 if precision == jax.lax.Precision.HIGHEST else x.dtype
     k = jnp.asarray(win)[:, :, None, None] * jnp.ones((1, 1, 1, c), jnp.float32)
-    sq = jnp.square(x.astype(jnp.float32))
+    sq = jnp.square(x.astype(dt))
     out = jax.lax.conv_general_dilated(
         sq,
-        k,
+        k.astype(dt),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -62,7 +68,7 @@ def l2pool(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    return jnp.sqrt(out + 1e-12)
+    return jnp.sqrt(out + 1e-12).astype(dt)
 
 
 def hann_window_1d(filter_size: int = 5) -> tuple[float, ...]:

@@ -56,10 +56,16 @@ def _window_axis(x: jax.Array, taps, axis: int,
 
 def window_mean(x: jax.Array, window_size: int = 21,
                 sigma: float | None = None,
-                precision: jax.lax.Precision | None = None) -> jax.Array:
+                precision: jax.lax.Precision | None = None,
+                out_dtype: jnp.dtype | None = None) -> jax.Array:
     """Gaussian windowed mean, VALID padding: (N,H,W,C) ->
     (N,H-K+1,W-K+1,C). Two banded matmuls (separable window) on the MXU;
     fp32 inputs default to HIGHEST precision (parity), bf16 to DEFAULT.
+
+    ``out_dtype`` sets the dtype of the inter-pass intermediate AND the
+    output (accumulation inside each matmul stays fp32). The windowed
+    maps are HBM-bound at batch scale — bf16 halves their traffic; use
+    only where the caller tolerates ~0.4% relative rounding (serving).
     """
     if sigma is None:
         sigma = window_size / 3.0
@@ -71,7 +77,12 @@ def window_mean(x: jax.Array, window_size: int = 21,
         )
     taps = gaussian_taps(window_size, sigma)
     y = _window_axis(x, taps, 1, precision)
-    return _window_axis(y, taps, 2, precision)
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    y = _window_axis(y, taps, 2, precision)
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    return y
 
 
 def fits_window(h: int, w: int, window_size: int = 21) -> bool:

@@ -95,6 +95,23 @@ def test_adists_identical_images_high_similarity(vgg_params, images):
     np.testing.assert_allclose(np.asarray(score), 0.0, atol=5e-3)
 
 
+def test_serving_bf16_close_to_fp32(vgg_params, images):
+    """The bf16 serving path (bf16 pyramid + DEFAULT-precision windowed
+    moments) must stay close to the fp32 parity path: scores are
+    channel/stage aggregates, so bf16 operand rounding averages out well
+    below perceptual significance (measured ~3e-4 on the TPU)."""
+    x, y = images
+    f32 = adists.forward(
+        vgg_params, jnp.asarray(x), jnp.asarray(y),
+        ADISTSConfig(compute_dtype="float32"), as_loss=False,
+    )
+    b16 = adists.forward(
+        vgg_params, jnp.asarray(x), jnp.asarray(y),
+        ADISTSConfig(compute_dtype="bfloat16"), as_loss=False,
+    )
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(f32), atol=5e-3)
+
+
 def test_blocked_fullres_path_matches_unblocked():
     """The channel-blocked full-resolution path (lax.scan over channel
     blocks) must produce the same scores as the unblocked path."""
