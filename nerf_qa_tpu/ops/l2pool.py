@@ -8,14 +8,20 @@ minus endpoints), stride 2, padding 1, then sqrt(.+1e-12).
 TPU design notes
 ----------------
 * NHWC layout (channels on the 128-lane axis).
-* Implemented as a strided depthwise conv (feature_group_count=C): measured
-  on v5e this is ~3.5x faster end-to-end than hand-separated strided
-  slices (which force lane/sublane shuffles) and ~2x faster than
-  shift-and-add formulations. XLA fuses the square into the conv input and
-  the sqrt into its output.
-* The conv runs in float32; ``precision`` follows the caller's mode —
-  HIGHEST for the fp32 parity path (XLA's default conv precision is
-  bf16-grade), DEFAULT for the bf16 serving path.
+* Size-dispatched formulation (both measured on v5e):
+  - small maps (<= ~256²): a strided depthwise conv
+    (feature_group_count=C) — ~3.5x faster than hand-separated strided
+    slices and ~2x faster than shift-and-add; the band formulation loses
+    here (4.4 vs 3.0 ms at 256²x64) because the op is
+    launch/latency-bound.
+  - large maps (full-resolution): the separable hann window as two
+    strided banded-matrix matmuls on the MXU — the stride-2 depthwise
+    conv runs on the VPU and is latency-bound at 1080p (23.6 ms for
+    1080x1920x64 vs 12.6 banded; 1.9x). Same trick as ops/windowed.
+* The conv runs in the caller's flow dtype; ``precision`` follows the
+  caller's mode — HIGHEST for the fp32 parity path (always computed in
+  fp32; XLA's default conv precision is bf16-grade), DEFAULT for the
+  bf16 serving path.
 """
 from __future__ import annotations
 
@@ -25,6 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# above this pixel count the banded-MXU formulation wins over the
+# depthwise conv (measured crossover between 256² = 65k and 270x480 =
+# 130k on v5e)
+_BAND_MIN_PIXELS = 100_000
+
 
 @functools.cache
 def _hann_kernel(filter_size: int) -> np.ndarray:
@@ -32,6 +43,40 @@ def _hann_kernel(filter_size: int) -> np.ndarray:
     taps = np.hanning(filter_size)[1:-1]
     win = np.outer(taps, taps)
     return (win / win.sum()).astype(np.float32)
+
+
+@functools.cache
+def _strided_band(in_size: int, filter_size: int, stride: int,
+                  pad: int) -> np.ndarray:
+    """(out, in) matrix applying the strided, zero-padded 1-D normalized
+    hann window: row o holds the taps at columns o*stride + i - pad.
+    outer(t,t)/sum(outer) == outer(t/sum t, t/sum t), so each axis uses
+    the 1-D-normalized taps."""
+    taps = np.hanning(filter_size)[1:-1]
+    taps = taps / taps.sum()
+    k = len(taps)
+    out_size = (in_size + 2 * pad - k) // stride + 1
+    mat = np.zeros((out_size, in_size), np.float32)
+    for o in range(out_size):
+        for i, t in enumerate(taps):
+            src = o * stride + i - pad
+            if 0 <= src < in_size:
+                mat[o, src] = t
+    return mat
+
+
+def _l2pool_band(x: jax.Array, filter_size: int, stride: int, pad: int,
+                 precision: jax.lax.Precision, dt: jnp.dtype) -> jax.Array:
+    """Banded-MXU formulation (large maps): x² -> strided banded matmul
+    over H, then over W, -> sqrt."""
+    mh = jnp.asarray(_strided_band(x.shape[1], filter_size, stride, pad))
+    mw = jnp.asarray(_strided_band(x.shape[2], filter_size, stride, pad))
+    sq = jnp.square(x.astype(dt))
+    y = jnp.einsum("oh,nhwc->nowc", mh.astype(dt), sq,
+                   precision=precision, preferred_element_type=jnp.float32)
+    y = jnp.einsum("ow,nhwc->nhoc", mw.astype(dt), y.astype(dt),
+                   precision=precision, preferred_element_type=jnp.float32)
+    return jnp.sqrt(y + 1e-12).astype(dt)
 
 
 def l2pool(
@@ -49,13 +94,15 @@ def l2pool(
     """
     c = x.shape[-1]
     pad = (filter_size - 2) // 2
-    win = _hann_kernel(filter_size)
     # The pool runs in the caller's flow dtype: TPU convs can't fuse
     # elementwise producers, so the squared input is a materialized
     # buffer — squaring in fp32 when the pyramid flows bf16 would double
     # its HBM traffic. HIGHEST precision (the fp32 parity path) always
     # computes in fp32.
     dt = jnp.float32 if precision == jax.lax.Precision.HIGHEST else x.dtype
+    if x.shape[1] * x.shape[2] > _BAND_MIN_PIXELS:
+        return _l2pool_band(x, filter_size, stride, pad, precision, dt)
+    win = _hann_kernel(filter_size)
     k = jnp.asarray(win)[:, :, None, None] * jnp.ones((1, 1, 1, c), jnp.float32)
     sq = jnp.square(x.astype(dt))
     out = jax.lax.conv_general_dilated(

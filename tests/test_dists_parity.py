@@ -57,6 +57,26 @@ def test_l2pool_odd_sizes():
     )
 
 
+def test_l2pool_band_matches_depthwise():
+    """The banded-MXU formulation (dispatched for maps > ~100k pixels)
+    must match the depthwise-conv formulation and the torch oracle,
+    including odd sizes where stride-2 windows straddle the zero pad."""
+    from nerf_qa_tpu.ops.l2pool import _l2pool_band
+
+    for shape in [(1, 63, 97, 4), (2, 40, 48, 8)]:
+        x = np.random.default_rng(1).random(shape, dtype=np.float32)
+        dw = np.asarray(l2pool(jnp.asarray(x)))
+        band = np.asarray(
+            _l2pool_band(jnp.asarray(x), 5, 2, 1,
+                         jax.lax.Precision.HIGHEST, jnp.float32)
+        )
+        np.testing.assert_allclose(band, dw, rtol=1e-5, atol=1e-6)
+        ref = l2pool_torch(torch.from_numpy(x).permute(0, 3, 1, 2))
+        np.testing.assert_allclose(
+            band, ref.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_pyramid_matches_torch(vgg_params, images):
     x, _ = images
     feats = vgg16_pyramid(vgg_params, jnp.asarray(x))
