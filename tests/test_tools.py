@@ -260,3 +260,16 @@ def test_hyperband_successive_halving(tmp_path):
     assert sorted(set(calls)) == [1, 3, 9]
     # rung sizes shrink 9 -> 3 -> 1
     assert [sum(1 for h in hist if h["rung"] == r) for r in rungs] == [9, 3, 1]
+
+
+def test_benchtime_bench_op():
+    """bench_op returns a sane positive per-iteration time and runs the
+    op the requested number of times (scalar feedback keeps iterations
+    chained)."""
+    import jax.numpy as jnp
+
+    from nerf_qa_tpu.utils.benchtime import bench_op
+
+    x = jnp.ones((4, 8, 8, 3), jnp.float32)
+    dt = bench_op(lambda v: (v * 2.0).sum(), x, iters=3)
+    assert dt > 0.0
