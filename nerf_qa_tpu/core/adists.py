@@ -201,6 +201,64 @@ def _stage_dmap_blocked(fx: jax.Array, fy: jax.Array, ps: jax.Array,
     return d_map
 
 
+def _stage_moments_blocked(f: jax.Array, g: jax.Array, inv_x: jax.Array,
+                           inv_y: jax.Array, wk: jax.Array,
+                           window_size: int, precision,
+                           block: int) -> tuple[jax.Array, jax.Array,
+                                                jax.Array]:
+    """Fused channel-blocked scan over RAW feature blocks returning
+    ``(gamma_sum, t_sum, s_sum)``, each (N, Hk, Wk):
+
+    * gamma_sum — Σ_c windowed var/mean of the raw features (the ps
+      cascade's input; divide by the true channel count),
+    * t_sum / s_sum — Σ_c T_c·w_c and Σ_c S_c·w_c of the L2-normalized
+      features (normalization is a per-channel scalar, applied to the
+      raw moments inside the scan).
+
+    Because ps broadcasts over channels, the stage distortion map
+    factorizes as d = (1-ps)·t_sum + ps·s_sum — so ONE scan serves both
+    the gamma and T/S pipelines with five windowed moments per block
+    instead of the seven of windowed_gamma_sum + _stage_dmap_blocked.
+    Zero-padded channels contribute 0 to gamma (0/(0+eps)) and T=S=1
+    with weight 0 to the sums."""
+    n, h, w, c = f.shape
+    fb, gb, ixb, iyb = _channel_blocks([f, g, inv_x, inv_y], block)
+    nb = fb.shape[0]
+    pad = nb * block - c
+    wkb = jnp.moveaxis(
+        jnp.pad(wk, ((0, 0), (0, pad))).reshape(n, nb, block), 1, 0
+    )
+    hk, wk_out = h - window_size + 1, w - window_size + 1
+
+    def body(carry, inp):
+        fk, gk, ixk, iyk, wkk = inp
+        gsum, tsum, ssum = carry
+        wf = window_mean(fk, window_size, precision=precision)
+        wg = window_mean(gk, window_size, precision=precision)
+        vf = window_mean(fk * fk, window_size, precision=precision) \
+            - jnp.square(wf)
+        vg = window_mean(gk * gk, window_size, precision=precision) \
+            - jnp.square(wg)
+        cov = window_mean(fk * gk, window_size, precision=precision) \
+            - wf * wg
+        gsum = gsum + (vf / (wf + _C0)).sum(axis=-1)
+        xm, ym = ixk * wf, iyk * wg
+        xv = jnp.square(ixk) * vf
+        yv = jnp.square(iyk) * vg
+        xy = ixk * iyk * cov
+        t = (2 * xm * ym + 1e-6) / (jnp.square(xm) + jnp.square(ym) + 1e-6)
+        s = (2 * xy + 1e-6) / (xv + yv + 1e-6)
+        wkk = wkk[:, None, None, :]
+        return (gsum, tsum + (t * wkk).sum(axis=-1),
+                ssum + (s * wkk).sum(axis=-1)), None
+
+    zero = jnp.zeros((n, hk, wk_out), jnp.float32)
+    (gsum, tsum, ssum), _ = jax.lax.scan(
+        body, (zero, zero, zero), (fb, gb, ixb, iyb, wkb)
+    )
+    return gsum, tsum, ssum
+
+
 def channel_entropy(f: jax.Array) -> jax.Array:
     """Raw per-channel Shannon entropies (bits), (N,H,W,C) -> (N,C):
     spatially L2-normalized ReLU features -> distribution over pixels ->
@@ -319,16 +377,17 @@ def forward(
                 d_total = d_total + d_map.mean(axis=(1, 2))
                 continue
         if fits and h * w > cfg.block_pixels_threshold:
-            # full-resolution path: channel-blocked moments (see
-            # _stage_dmap_blocked) — 1080p stage maps never materialize
-            # at full channel width
-            gamma = windowed_gamma_sum(f32, cfg.window_size, wprec,
-                                       cfg.channel_block) / c
-            ps_prod = _prob_update(gamma, ps_prod, True)
-            d_map = _stage_dmap_blocked(
-                f32 * inv_x, g32 * inv_y, ps_prod, wk_weights,
-                cfg.window_size, wprec, cfg.channel_block,
+            # full-resolution path: one fused channel-blocked scan (see
+            # _stage_moments_blocked) — 1080p stage maps never
+            # materialize at full channel width, and the gamma and T/S
+            # pipelines share each block's five windowed moments
+            gsum, tsum, ssum = _stage_moments_blocked(
+                f32, g32, inv_x, inv_y, wk_weights, cfg.window_size,
+                wprec, cfg.channel_block,
             )
+            ps_prod = _prob_update(gsum[..., None] / c, ps_prod, True)
+            ps_k = ps_prod[..., 0]
+            d_map = (1.0 - ps_k) * tsum + ps_k * ssum
             if as_map:
                 d_map_full = d_map_full + resize_bilinear(
                     d_map[..., None], H, W
