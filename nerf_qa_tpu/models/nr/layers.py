@@ -10,9 +10,26 @@ TPU notes: NHWC; conv kernels HWIO; Dropout2d drops whole channels
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from nerf_qa_tpu.ops.pallas.channelnorm import channel_norm_act
+
+
+def _fused_cn_enabled() -> bool:
+    """Opt-in (NERF_QA_TPU_FUSED_CN=1) Pallas ChannelNorm — a MEASURED
+    NEGATIVE on v5e, kept as a reference formulation like
+    ops/pallas/windowed_tsd: the jnp oracle already runs at the chip's
+    elementwise-pass envelope (3.5 ms at 256²x448 B=8 ≈ one fused XLA
+    multiply pass), while the Pallas pipeline itself tops out at
+    ~145 GB/s even for a pure copy kernel (vs ~175 GB/s aggregate for
+    XLA elementwise) — so the fused kernel made the NR train step 2x
+    SLOWER (765 vs 358 ms at B=4). Pallas wins here only when a kernel
+    removes MANY passes (the 49-shift JBU), not 2-3-pass fusions."""
+    return os.environ.get("NERF_QA_TPU_FUSED_CN") == "1"
 
 
 class ChannelNorm(nn.Module):
@@ -20,21 +37,30 @@ class ChannelNorm(nn.Module):
     (FeatUp's ChannelNorm; used by model_nr_v8.py:22,40).
 
     Statistics always accumulate in fp32 (bf16 mean/var loses the
-    DISTS-relevant precision); output returns in the input dtype."""
+    DISTS-relevant precision); output returns in the input dtype.
+    ``gelu=True`` fuses the block's tanh-GELU activation into the same
+    pass (one HBM round-trip instead of three on TPU via the Pallas
+    kernel, ops/pallas/channelnorm.py)."""
 
     features: int
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, gelu: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if _fused_cn_enabled():
+            return channel_norm_act(x, scale, bias, gelu=gelu,
+                                    eps=self.eps)
         in_dtype = x.dtype
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = jnp.square(xf - mean).mean(axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return (y * scale + bias).astype(in_dtype)
+        y = y * scale + bias
+        if gelu:
+            y = nn.gelu(y)
+        return y.astype(in_dtype)
 
 
 class Dropout2d(nn.Module):
@@ -72,9 +98,7 @@ class ConvLayer(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding="SAME",
                     dtype=self.dtype)(x)
         if self.norm_type == "channel":
-            x = ChannelNorm(self.features)(x)
-            if self.activation:
-                x = nn.gelu(x)
+            x = ChannelNorm(self.features)(x, gelu=self.activation)
         else:
             x = nn.BatchNorm(use_running_average=deterministic,
                              dtype=self.dtype)(x)
@@ -102,9 +126,7 @@ class ConvTransposeLayer(nn.Module):
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
                              padding="SAME", dtype=self.dtype)(x)
         if self.norm_type == "channel":
-            x = ChannelNorm(self.features)(x)
-            if self.activation:
-                x = nn.gelu(x)
+            x = ChannelNorm(self.features)(x, gelu=self.activation)
         else:
             x = nn.BatchNorm(use_running_average=deterministic,
                              dtype=self.dtype)(x)

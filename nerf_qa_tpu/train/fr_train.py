@@ -131,6 +131,7 @@ class FRTrainer:
                 )
             return params, opt_state, loss, aux
 
+        donate = (0, 1) if jax.default_backend() == "tpu" else ()
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
@@ -138,8 +139,9 @@ class FRTrainer:
                 step,
                 in_shardings=(rsh, rsh, dsh, dsh, dsh, dsh, dsh),
                 out_shardings=(rsh, rsh, rsh, (dsh, dsh, rsh)),
+                donate_argnums=donate,
             )
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=donate)
 
     def _build_eval_step(self):
         def step(params, dist_imgs, ref_imgs, stats):

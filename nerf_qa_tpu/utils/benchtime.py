@@ -33,8 +33,13 @@ def bench_op(op: Callable[[jax.Array], jax.Array], x: jax.Array,
     @jax.jit
     def loop(x):
         def body(i, acc):
-            return acc + op(x * (1.0 + acc * 1e-30)).astype(
-                jnp.float32).mean()
+            # cast the perturbation scalar to x's dtype BEFORE the
+            # multiply: bf16_array * f32_scalar silently promotes the
+            # whole array to fp32, which doubles the measured op's
+            # traffic and changes its layout (a real measurement bug
+            # this helper once had).
+            scale = (1.0 + acc * 1e-30).astype(x.dtype)
+            return acc + op(x * scale).astype(jnp.float32).mean()
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
