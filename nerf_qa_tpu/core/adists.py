@@ -163,44 +163,6 @@ def _spatial_l2_normalize(f: jax.Array) -> jax.Array:
     return f / jnp.maximum(norm, 1e-12)
 
 
-def _stage_dmap_blocked(fx: jax.Array, fy: jax.Array, ps: jax.Array,
-                        wk: jax.Array, window_size: int, precision,
-                        block: int) -> jax.Array:
-    """Channel-blocked windowed T/S distortion map for full-resolution
-    stages: scans channel blocks so only ``block`` channels of the five
-    VALID moment maps (means, vars, covariance) are live at once.
-    Zero-padded channels produce T=S=1 with weight 0 — no contribution."""
-    n, h, w, c = fx.shape
-    fxb, fyb = _channel_blocks([fx, fy], block)
-    nb = fxb.shape[0]
-    pad = nb * block - c
-    wkb = jnp.moveaxis(
-        jnp.pad(wk, ((0, 0), (0, pad))).reshape(n, nb, block), 1, 0
-    )
-    hk, wk_out = h - window_size + 1, w - window_size + 1
-    pt = 1.0 - ps
-
-    def body(carry, inp):
-        fxk, fyk, wkk = inp
-        xm = window_mean(fxk, window_size, precision=precision)
-        ym = window_mean(fyk, window_size, precision=precision)
-        xv = window_mean(fxk * fxk, window_size, precision=precision) \
-            - jnp.square(xm)
-        yv = window_mean(fyk * fyk, window_size, precision=precision) \
-            - jnp.square(ym)
-        cov = window_mean(fxk * fyk, window_size, precision=precision) \
-            - xm * ym
-        t = (2 * xm * ym + 1e-6) / (jnp.square(xm) + jnp.square(ym) + 1e-6)
-        s = (2 * cov + 1e-6) / (xv + yv + 1e-6)
-        d = ((pt * t + ps * s) * wkk[:, None, None, :]).sum(axis=-1)
-        return carry + d, None
-
-    d_map, _ = jax.lax.scan(
-        body, jnp.zeros((n, hk, wk_out), jnp.float32), (fxb, fyb, wkb)
-    )
-    return d_map
-
-
 def _stage_moments_blocked(f: jax.Array, g: jax.Array, inv_x: jax.Array,
                            inv_y: jax.Array, wk: jax.Array,
                            window_size: int, precision,

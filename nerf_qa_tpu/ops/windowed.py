@@ -48,6 +48,20 @@ def _band_matrix(in_size: int, taps: tuple[float, ...]) -> np.ndarray:
 
 def _window_axis(x: jax.Array, taps, axis: int,
                  precision: jax.lax.Precision) -> jax.Array:
+    """VALID 1-D window along ``axis`` as ONE dense banded matmul.
+
+    The dense (out, in) band matrix nominally wastes MXU FLOPs
+    proportional to in/K (output row o only reads inputs o..o+K-1:
+    12x at in=256, 51x at 1080) — but BLOCKED variants that cut the
+    waste (output tiles with 128- or 256-wide input spans, slice-view
+    einsums per block, static unroll) measured SLOWER on v5e in both
+    regimes: 256² serving B=128 ADISTS stats 161 -> 227 ms (the output
+    concat materializes fragments and breaks XLA's fusion of the
+    downstream elementwise ops), and channel-blocked 1080p full-res
+    7.8 vs 8.7 fr/s (with C=16 per scan step the matmuls are
+    HBM-bound, so blocking only adds ~1.27x overlapped input reads +
+    concat traffic). The band waste is free on the fat MXU; dense wins.
+    """
     mat = jnp.asarray(_band_matrix(x.shape[axis], taps))
     eq = "oh,nhwc->nowc" if axis == 1 else "ow,nhwc->nhoc"
     return jnp.einsum(eq, mat, x, precision=precision,

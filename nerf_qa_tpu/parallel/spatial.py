@@ -230,10 +230,8 @@ def spatial_adists_forward(
         _C0,
         _minmax_norm,
         _resize_align_corners,
-        _spatial_l2_normalize,
-        _stage_dmap_blocked,
+        _stage_moments_blocked,
         channel_entropy,
-        windowed_gamma_sum,
     )
     from nerf_qa_tpu.ops.resize import resize_bilinear
     from nerf_qa_tpu.ops.windowed import fits_window
@@ -281,33 +279,6 @@ def spatial_adists_forward(
             """Finish a channel reduction across the model axis."""
             return jax.lax.psum(v, MODEL_AXIS) if nd > 1 else v
 
-        # -- ps probability cascade (core.adists.compute_prob) ------------
-        ps_list = []
-        ps_prod = jnp.ones((nl, hh, ww, 1), jnp.float32)
-        for k in reversed(range(6)):
-            f = blocks_x[k]
-            h, w = f.shape[1], f.shape[2]
-            if fits_window(h, w, ws):
-                gsum = windowed_gamma_sum(f, ws, wprec,
-                                          min(cfg.channel_block, cbs[k]))
-                gamma = csum(gsum) / chns[k]
-                g_mean = gamma.mean(axis=(1, 2), keepdims=True)
-                g_std = gamma.std(axis=(1, 2), keepdims=True, ddof=1)
-                ps = jax.nn.sigmoid((gamma - g_mean) / (g_std + _C0))
-                ps = _minmax_norm(ps)
-                ps_prod = ps * _resize_align_corners(
-                    ps_prod, ps.shape[1], ps.shape[2]
-                )
-                ps_prod = _minmax_norm(ps_prod)
-            else:
-                m = f.mean(axis=(1, 2), keepdims=True)
-                v = jnp.square(f - m).mean(axis=(1, 2), keepdims=True)
-                gamma = csum((v / (m + _C0)).sum(-1, keepdims=True)) / chns[k]
-                ps = jax.nn.sigmoid(gamma)
-                ps_prod = ps * _resize_align_corners(ps_prod, 1, 1)
-            ps_list.append(ps_prod)
-        ps_list = ps_list[::-1]
-
         # -- entropy channel weights (ADISTS.py:127-135,152-160) ----------
         parts = []
         for k in range(6):
@@ -327,34 +298,63 @@ def spatial_adists_forward(
                           w_mean + 0.5 * w_std) * mask
         weight = weight / csum(weight.sum(-1, keepdims=True))
 
-        # -- per-stage windowed T/S distortion maps ------------------------
+        # -- single coarse->fine loop: the ps cascade and the T/S maps
+        # share each stage's five channel-blocked windowed moments
+        # (core.adists._stage_moments_blocked; the gamma map and the
+        # (t_sum, s_sum) partials each finish with one psum over the
+        # channel shards, and d factorizes as (1-ps)·Σ t_c w_c +
+        # ps·Σ s_c w_c since ps broadcasts over channels).
         offs = np.cumsum([0] + cbs)
         d_total = jnp.zeros((nl,), jnp.float32)
         d_map_full = jnp.zeros((nl, hh, ww), jnp.float32)
+        ps_prod = jnp.ones((nl, hh, ww, 1), jnp.float32)
         for k in reversed(range(6)):
-            fx = _spatial_l2_normalize(blocks_x[k])
-            fy = _spatial_l2_normalize(blocks_y[k])
-            h, w = fx.shape[1], fx.shape[2]
-            ps = ps_list[k]
+            f = blocks_x[k]
+            g = blocks_y[k]
+            h, w = f.shape[1], f.shape[2]
             wk = weight[:, offs[k]:offs[k + 1]]
+            inv_x = 1.0 / jnp.maximum(
+                jnp.sqrt(jnp.sum(jnp.square(f), axis=(1, 2),
+                                 keepdims=True)), 1e-12)
+            inv_y = 1.0 / jnp.maximum(
+                jnp.sqrt(jnp.sum(jnp.square(g), axis=(1, 2),
+                                 keepdims=True)), 1e-12)
             if fits_window(h, w, ws):
-                d_part = _stage_dmap_blocked(
-                    fx, fy, ps, wk, ws, wprec,
+                gsum, tsum, ssum = _stage_moments_blocked(
+                    f, g, inv_x, inv_y, wk, ws, wprec,
                     min(cfg.channel_block, cbs[k]),
                 )
+                gamma = csum(gsum[..., None]) / chns[k]
+                g_mean = gamma.mean(axis=(1, 2), keepdims=True)
+                g_std = gamma.std(axis=(1, 2), keepdims=True, ddof=1)
+                ps = jax.nn.sigmoid((gamma - g_mean) / (g_std + _C0))
+                ps = _minmax_norm(ps)
+                ps_prod = _minmax_norm(ps * _resize_align_corners(
+                    ps_prod, ps.shape[1], ps.shape[2]
+                ))
+                ts = csum(jnp.stack([tsum, ssum]))
+                ps_k = ps_prod[..., 0]
+                d_map = (1.0 - ps_k) * ts[0] + ps_k * ts[1]
             else:
-                xm = fx.mean(axis=(1, 2), keepdims=True)
-                ym = fy.mean(axis=(1, 2), keepdims=True)
-                xv = jnp.square(fx - xm).mean(axis=(1, 2), keepdims=True)
-                yv = jnp.square(fy - ym).mean(axis=(1, 2), keepdims=True)
-                cov = (fx * fy).mean(axis=(1, 2), keepdims=True) - xm * ym
+                mf = f.mean(axis=(1, 2), keepdims=True)
+                vf = jnp.square(f - mf).mean(axis=(1, 2), keepdims=True)
+                gamma = csum(
+                    (vf / (mf + _C0)).sum(-1, keepdims=True)) / chns[k]
+                ps = jax.nn.sigmoid(gamma)
+                ps_prod = ps * _resize_align_corners(ps_prod, 1, 1)
+                mg = g.mean(axis=(1, 2), keepdims=True)
+                vg = jnp.square(g - mg).mean(axis=(1, 2), keepdims=True)
+                cov = (f * g).mean(axis=(1, 2), keepdims=True) - mf * mg
+                xm, ym = inv_x * mf, inv_y * mg
+                xv = jnp.square(inv_x) * vf
+                yv = jnp.square(inv_y) * vg
+                xy = inv_x * inv_y * cov
                 t = (2 * xm * ym + 1e-6) / (
                     jnp.square(xm) + jnp.square(ym) + 1e-6
                 )
-                s = (2 * cov + 1e-6) / (xv + yv + 1e-6)
-                d_part = (((1.0 - ps) * t + ps * s)
-                          * wk[:, None, None, :]).sum(axis=-1)
-            d_map = csum(d_part)
+                s = (2 * xy + 1e-6) / (xv + yv + 1e-6)
+                d_map = csum((((1.0 - ps_prod) * t + ps_prod * s)
+                              * wk[:, None, None, :]).sum(axis=-1))
             if as_map:
                 d_map_full = d_map_full + resize_bilinear(
                     d_map[..., None], hh, ww
