@@ -1,0 +1,89 @@
+"""End-to-end quality-recovery demonstration on synthetic data.
+
+The reference's headline numbers are MOS correlations obtained with
+pretrained backbones (BASELINE.md §6.1-6.2); this environment ships no
+torchvision/DINOv2 checkpoints (zero egress), so absolute parity with
+those tables cannot be reproduced here. This tool provides the honest
+substitute: it builds a synthetic Test2-layout dataset whose MOS is a
+noisy monotone function of the injected distortion strength
+(tools/make_synthetic_dataset.py), trains the FR model through the REAL
+driver path (tools/run_fr.py — GroupKFold CV, logistic head, metric
+logger), and reports held-out cross-validated PLCC/SRCC/KTCC. High
+recovered correlations certify the full train->score->aggregate->
+correlate stack end-to-end; with real checkpoints the same command on
+real datasets reproduces the reference recipe (run_final.py:231-344).
+
+Usage:
+  python -m nerf_qa_tpu.tools.quality_demo --out /tmp/qdemo [--epochs 8]
+
+Prints ONE JSON line:
+  {"cv_plcc": ..., "cv_srcc": ..., "cv_ktcc": ..., "n_videos": ...}
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="synthetic quality recovery demo")
+    p.add_argument("--out", required=True, help="work dir (dataset + run)")
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--folds", type=int, default=4)
+    p.add_argument("--scenes", type=int, default=8)
+    p.add_argument("--methods", type=int, default=5)
+    p.add_argument("--frames", type=int, default=6)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--compute-dtype", default="float32")
+    args = p.parse_args(argv)
+
+    from nerf_qa_tpu.eval.correlations import compute_correlations
+    from nerf_qa_tpu.tools.make_synthetic_dataset import make_fr_tree
+    from nerf_qa_tpu.tools.run_fr import main as run_fr_main
+
+    data_dir = os.path.join(args.out, "data")
+    run_dir = os.path.join(args.out, "run")
+    os.makedirs(data_dir, exist_ok=True)
+    scenes = tuple(f"scene{i:02d}" for i in range(args.scenes))
+    csv = make_fr_tree(data_dir, scenes=scenes,
+                       methods_per_scene=args.methods, frames=args.frames,
+                       seed=0)
+
+    run_fr_main([
+        "--data-dir", data_dir, "--scores-csv", csv,
+        "--output-dir", run_dir,
+        "--epochs", str(args.epochs), "--folds", str(args.folds),
+        "--lr", str(args.lr), "--batch-size", str(args.batch_size),
+        "--regression-type", "logistic",
+        "--compute-dtype", args.compute_dtype,
+        "--num-workers", "2",
+    ])
+
+    # held-out predictions: fold files only (results_{folds}.csv is the
+    # final full-data train with an empty test split, so it never exists)
+    frames_dfs = []
+    for f in sorted(glob.glob(os.path.join(run_dir, "results_[0-9]*.csv"))):
+        fold = int(os.path.splitext(f)[0].rsplit("_", 1)[1])
+        if fold < args.folds:
+            frames_dfs.append(pd.read_csv(f))
+    cv = pd.concat(frames_dfs, ignore_index=True)
+    corr = compute_correlations(np.asarray(cv["pred_score"], np.float64),
+                                np.asarray(cv["mos"], np.float64))
+    out = {
+        "cv_plcc": abs(round(corr["plcc"], 4)),
+        "cv_srcc": abs(round(corr["srcc"], 4)),
+        "cv_ktcc": abs(round(corr["ktcc"], 4)),
+        "n_videos": int(len(cv)),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
