@@ -93,12 +93,20 @@ class NRModel:
         self.jbu_params = jbu_params
 
     # -- encoder (frozen) --------------------------------------------------
-    def _sem_encode(self, sem_input):
-        toks = self.vit.apply({"params": self.vit_params}, sem_input)
-        gh, gw = toks["grid"]
-        sem_feats = toks["x_norm_patchtokens"].reshape(
-            sem_input.shape[0], gh, gw, -1
-        )
+    def _sem_encode(self, sem_input, sem_tokens=None):
+        """ViT patch-token map (+ JBU pyramid). ``sem_tokens`` — an
+        (N, gh, gw, dim) array from the offline feature cache
+        (data/feature_cache.py; reference model.py:165-196) — skips the
+        frozen ViT forward; JBU still runs (it needs the guidance image
+        and is cheap MXU work)."""
+        if sem_tokens is not None:
+            sem_feats = sem_tokens.astype(jnp.float32)
+        else:
+            toks = self.vit.apply({"params": self.vit_params}, sem_input)
+            gh, gw = toks["grid"]
+            sem_feats = toks["x_norm_patchtokens"].reshape(
+                sem_input.shape[0], gh, gw, -1
+            )
         if self.use_jbu:
             sem_pyramid = self.jbu.apply(
                 {"params": self.jbu_params}, sem_feats, sem_input
@@ -107,14 +115,15 @@ class NRModel:
             sem_pyramid = []
         return sem_feats, sem_pyramid
 
-    def encode(self, render_256: jax.Array, render_224: jax.Array) -> EncoderFeats:
+    def encode(self, render_256: jax.Array, render_224: jax.Array,
+               sem_tokens=None) -> EncoderFeats:
         """Frozen feature extraction (model_nr_v8.py:156-166)."""
         compute_dtype = (
             jnp.bfloat16 if self.cfg.dists.compute_dtype == "bfloat16"
             else jnp.float32
         )
         sem_input = render_224 if self.cfg.vit_model == "dinov2" else render_256
-        sem_feats, sem_pyramid = self._sem_encode(sem_input)
+        sem_feats, sem_pyramid = self._sem_encode(sem_input, sem_tokens)
         dists_feats = vgg16_pyramid(
             self.vgg_params, render_256, compute_dtype=compute_dtype
         )
@@ -227,9 +236,10 @@ class NRModel:
         return score
 
     def forward(self, decoder_params, render_256, render_224,
-                deterministic: bool = True, rng=None, state=None) -> jax.Array:
+                deterministic: bool = True, rng=None, state=None,
+                sem_tokens=None) -> jax.Array:
         return self.forward_from_feats(
-            decoder_params, self.encode(render_256, render_224),
+            decoder_params, self.encode(render_256, render_224, sem_tokens),
             deterministic, rng, state,
         )
 
@@ -249,7 +259,7 @@ class NRModel:
     # -- losses ---------------------------------------------------------------
     def losses(self, decoder_params, gt_image, render_256, render_224,
                rng=None, score_std=None, score_mean=None, state=None,
-               score_map=None):
+               score_map=None, sem_tokens=None):
         """Self-supervised training losses (model_nr_v8.py:250-274).
         Returns (losses_dict, new_decoder_state).
 
@@ -266,7 +276,7 @@ class NRModel:
         # gt pyramid): halves the conv work of the training step.
         n = render_256.shape[0]
         sem_input = render_224 if cfg.vit_model == "dinov2" else render_256
-        sem_feats, sem_pyramid = self._sem_encode(sem_input)
+        sem_feats, sem_pyramid = self._sem_encode(sem_input, sem_tokens)
         both = vgg16_pyramid(
             self.vgg_params, jnp.concatenate([render_256, gt_image], axis=0),
             compute_dtype=compute_dtype,

@@ -13,11 +13,21 @@ recovered correlations certify the full train->score->aggregate->
 correlate stack end-to-end; with real checkpoints the same command on
 real datasets reproduces the reference recipe (run_final.py:231-344).
 
+The NR mode (--kind nr) is the analogous certificate for the
+no-reference stack: a synthetic NeRF-NR-QA tree whose per-method
+distortion strength rises monotonically (and whose DISTS_mean target
+column rises with it), trained through tools/train_nr.py (scene-holdout
+split, self-supervised DISTS objective, val correlation loop,
+train-nr.py:270-377), reporting the held-out-scene video-level
+PLCC/SRCC vs the quality targets.
+
 Usage:
   python -m nerf_qa_tpu.tools.quality_demo --out /tmp/qdemo [--epochs 8]
+  python -m nerf_qa_tpu.tools.quality_demo --kind nr --out /tmp/qdemo_nr
 
 Prints ONE JSON line:
-  {"cv_plcc": ..., "cv_srcc": ..., "cv_ktcc": ..., "n_videos": ...}
+  fr: {"cv_plcc": ..., "cv_srcc": ..., "cv_ktcc": ..., "n_videos": ...}
+  nr: {"val_plcc": ..., "val_srcc": ..., "val_l1": ..., "n_videos": ...}
 """
 from __future__ import annotations
 
@@ -30,8 +40,51 @@ import numpy as np
 import pandas as pd
 
 
+def _nr_demo(args) -> dict:
+    from nerf_qa_tpu.tools.make_synthetic_dataset import make_nr_tree
+    from nerf_qa_tpu.tools.train_nr import main as train_nr_main
+
+    data_dir = os.path.join(args.out, "data")
+    run_dir = os.path.join(args.out, "run")
+    os.makedirs(data_dir, exist_ok=True)
+    scenes = tuple(f"scene{i:02d}" for i in range(args.scenes))
+    methods = tuple(f"m{i}" for i in range(args.methods))
+    csv = make_nr_tree(data_dir, scenes=scenes, methods=methods,
+                       frames=args.frames, seed=0)
+    holdout = list(scenes[: max(1, args.scenes // 4)])
+    train_nr_main([
+        "--data-dir", data_dir, "--scores-csv", csv,
+        "--output-dir", run_dir,
+        "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
+        "--lr", str(args.lr),
+        "--holdout-scenes", *holdout,
+        "--test-every", str(args.epochs),  # val pass on the last epoch
+        # small-but-valid geometry (64/16 == 56/14) + shallow ViT so the
+        # demo compiles in minutes; the driver path is the real one
+        "--render-size", "64", "--sem-size", "56", "--vit-depth", "2",
+        "--compute-dtype", args.compute_dtype,
+        "--decoder-dtype", args.compute_dtype,
+        "--num-workers", "2",
+    ])
+    val = {}
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if any(k.startswith("Validation") for k in rec):
+                val = rec
+    out = {
+        "val_plcc": abs(round(val.get("Validation Metrics Dict/plcc", 0.0), 4)),
+        "val_srcc": abs(round(val.get("Validation Metrics Dict/srcc", 0.0), 4)),
+        "val_l1": round(val.get("Validation Metrics Dict/l1", -1.0), 4),
+        "n_videos": len(holdout) * args.methods,
+    }
+    print(json.dumps(out))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="synthetic quality recovery demo")
+    p.add_argument("--kind", choices=["fr", "nr"], default="fr")
     p.add_argument("--out", required=True, help="work dir (dataset + run)")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--folds", type=int, default=4)
@@ -42,6 +95,11 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--compute-dtype", default="float32")
     args = p.parse_args(argv)
+
+    if args.kind == "nr":
+        if args.batch_size == 16:  # NR device batch default (settings.py)
+            args.batch_size = 4
+        return _nr_demo(args)
 
     from nerf_qa_tpu.eval.correlations import compute_correlations
     from nerf_qa_tpu.tools.make_synthetic_dataset import make_fr_tree

@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the predicted ADISTS map against prep_nr's "
                         "-log10 score maps (nerf_nr_qa_prep_4.py:101-135)")
     p.add_argument("--score-map-coeff", type=float, default=1.0)
+    p.add_argument("--feature-cache", default=None,
+                   help="ViT-token cache root from tools/cache_nr_features "
+                        "(reference model.py:165-196's offline feature "
+                        "dump): train/val steps skip the frozen ViT "
+                        "forward. Forces augs off (tokens are cached for "
+                        "the canonical frames); mode 'gt' only.")
     p.add_argument("--holdout-scenes", nargs="*", default=[])
     p.add_argument("--blacklist-methods", nargs="*", default=[])
     p.add_argument("--num-workers", type=int, default=4)
@@ -134,6 +140,25 @@ def main(argv=None):
     train_df = df[train_mask].reset_index(drop=True)
     val_df = df[val_mask].reset_index(drop=True)
     print(f"train videos: {len(train_df)}  val videos: {len(val_df)}")
+
+    train_tokens = val_tokens = None
+    if args.feature_cache:
+        if args.mode != "gt":
+            raise SystemExit("--feature-cache requires --mode gt")
+        from nerf_qa_tpu.data.feature_cache import TokenCacheReader
+
+        if args.aug_rot_deg or args.aug_crop_scale != 1.0:
+            print("feature cache: disabling random augs (tokens are "
+                  "cached for the canonical frames)")
+            args.aug_rot_deg, args.aug_crop_scale = 0.0, 1.0
+        train_tokens = TokenCacheReader(args.feature_cache, train_df)
+        got, total = train_tokens.coverage()
+        if got < total:
+            raise SystemExit(
+                f"feature cache incomplete: {got}/{total} train videos "
+                f"cached — run tools/cache_nr_features first")
+        if len(val_df):
+            val_tokens = TokenCacheReader(args.feature_cache, val_df)
 
     cfg = NRModelConfig(
         version=args.version,
@@ -219,11 +244,16 @@ def main(argv=None):
                 else:
                     score_std = batch[2] if len(batch) > 2 else None
                     score_mean = batch[3] if len(batch) > 3 else None
+                    toks = None
+                    if train_tokens is not None:
+                        toks = train_tokens.gather(
+                            np.asarray(batch[4]), np.asarray(batch[5])
+                        )
                     params, state, opt_state, losses, rng = \
                         trainer.train_step(
                             params, state, opt_state, gt,
                             render["256x256"], render["224x224"], rng,
-                            score_std, score_mean,
+                            score_std, score_mean, sem_tokens=toks,
                         )
             agg.add({k: float(v) for k, v in losses.items()})
             timer.tick()
@@ -243,8 +273,14 @@ def main(argv=None):
             preds, targets = {}, {}
             for batch in val_loader:
                 gt, render, _, dists_mean, vid = batch[:5]
+                toks = None
+                if val_tokens is not None:
+                    toks = val_tokens.gather(
+                        np.asarray(vid), np.asarray(batch[5])
+                    )
                 scores = trainer.score_frames(
-                    params, state, render["256x256"], render["224x224"]
+                    params, state, render["256x256"], render["224x224"],
+                    sem_tokens=toks,
                 )
                 for v, s, t in zip(np.asarray(vid), scores,
                                    np.asarray(dists_mean)):

@@ -69,18 +69,24 @@ class NRTrainer:
         self._train_step = self._build_train_step()
         self._score_step = self._build_score_step()
         self._train_step_sm = None  # built lazily (mode='score-map')
+        self._train_step_tok = None  # built lazily (--feature-cache)
+        self._score_step_tok = None
 
-    def _build_train_step(self):
+    def _build_train_step(self, cached_tokens: bool = False):
+        """``cached_tokens``: step takes precomputed ViT patch tokens from
+        the offline feature cache (data/feature_cache.py) and skips the
+        frozen ViT forward (reference model.py:165-196)."""
         model = self.model
 
         def step(params, state, opt_state, gt, render_256, render_224,
-                 rng, score_std, score_mean):
+                 rng, score_std, score_mean, *tok):
             rng, sub = jax.random.split(rng)
 
             def loss_fn(p):
                 losses, new_state = model.losses(
                     p, gt, render_256, render_224, rng=sub,
                     score_std=score_std, score_mean=score_mean, state=state,
+                    sem_tokens=tok[0] if tok else None,
                 )
                 return losses["combined"], (losses, new_state)
 
@@ -94,9 +100,12 @@ class NRTrainer:
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
+            ins = (rsh, rsh, rsh, dsh, dsh, dsh, rsh, dsh, dsh)
+            if cached_tokens:
+                ins = ins + (dsh,)
             return jax.jit(
                 step,
-                in_shardings=(rsh, rsh, rsh, dsh, dsh, dsh, rsh, dsh, dsh),
+                in_shardings=ins,
                 out_shardings=(rsh, rsh, rsh, rsh, rsh),
                 donate_argnums=_donate(),
             )
@@ -146,17 +155,20 @@ class NRTrainer:
             jnp.asarray(score_map, jnp.float32), rng,
         )
 
-    def _build_score_step(self):
+    def _build_score_step(self, cached_tokens: bool = False):
         model = self.model
 
-        def step(params, state, render_256, render_224):
-            return model.forward(params, render_256, render_224, state=state)
+        def step(params, state, render_256, render_224, *tok):
+            return model.forward(params, render_256, render_224, state=state,
+                                 sem_tokens=tok[0] if tok else None)
 
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
-            return jax.jit(step, in_shardings=(rsh, rsh, dsh, dsh),
-                           out_shardings=dsh)
+            ins = (rsh, rsh, dsh, dsh)
+            if cached_tokens:
+                ins = ins + (dsh,)
+            return jax.jit(step, in_shardings=ins, out_shardings=dsh)
         return jax.jit(step)
 
     def init(self, seed: int | None = None):
@@ -174,17 +186,27 @@ class NRTrainer:
         return params, state, opt_state, rng
 
     def train_step(self, params, state, opt_state, gt, render_256,
-                   render_224, rng, score_std=None, score_mean=None):
+                   render_224, rng, score_std=None, score_mean=None,
+                   sem_tokens=None):
         n = np.shape(gt)[0]
         if score_std is None:
             score_std = jnp.zeros((n,), jnp.float32)
             score_mean = jnp.zeros((n,), jnp.float32)
-        return self._train_step(
+        args = (
             params, state, opt_state,
             jnp.asarray(gt), jnp.asarray(render_256), jnp.asarray(render_224),
             rng, jnp.asarray(score_std, jnp.float32),
             jnp.asarray(score_mean, jnp.float32),
         )
+        if sem_tokens is not None:
+            if self._train_step_tok is None:
+                self._train_step_tok = self._build_train_step(
+                    cached_tokens=True
+                )
+            return self._train_step_tok(
+                *args, jnp.asarray(sem_tokens, jnp.float32)
+            )
+        return self._train_step(*args)
 
     def train_epoch(self, params, state, opt_state, rng, batches: Iterable,
                     aggregator: MetricAggregator | None = None):
@@ -199,7 +221,20 @@ class NRTrainer:
                 aggregator.add({k: float(v) for k, v in losses.items()})
         return params, state, opt_state, rng
 
-    def score_frames(self, params, state, render_256, render_224) -> np.ndarray:
+    def score_frames(self, params, state, render_256, render_224,
+                     sem_tokens=None) -> np.ndarray:
+        if sem_tokens is not None:
+            if self._score_step_tok is None:
+                self._score_step_tok = self._build_score_step(
+                    cached_tokens=True
+                )
+            return np.asarray(
+                self._score_step_tok(
+                    params, state, jnp.asarray(render_256),
+                    jnp.asarray(render_224),
+                    jnp.asarray(sem_tokens, jnp.float32),
+                )
+            )
         return np.asarray(
             self._score_step(
                 params, state, jnp.asarray(render_256), jnp.asarray(render_224)
