@@ -363,7 +363,13 @@ def forward(
             # smooth regions, and the ps cascade's min/max
             # renormalization turns a single window's map rounding into
             # a coherent whole-map shift — bf16 maps were measured at
-            # ~5e-3 score error (vs ~1e-5 for this formulation).
+            # ~5e-3 score error (vs ~1e-5 for this formulation), and
+            # GLOBAL-mean-shifted bf16 maps (var/cov are shift-
+            # invariant) still err 6.6e-3: the cancellation is driven
+            # by regional offsets from the global mean, not the DC
+            # component, so the shift cannot remove it. The shifted
+            # variant also only measured +13% (551 -> 624 fr/s at
+            # B=128) — the stats are not purely map-traffic-bound.
             # Serving keeps its speed from DEFAULT-precision matmuls
             # (bf16 operand rounding inside the MXU averages over the
             # 21 taps) and from the 7->5 window-pass sharing.
