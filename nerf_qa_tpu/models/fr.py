@@ -76,12 +76,16 @@ def init_params(
     cfg: FRModelConfig = FRModelConfig(),
     dists_weights: dists.DISTSWeights | None = None,
     n_stats: int = 0,
+    n_scene_types: int = 0,
 ) -> dict[str, Any]:
     """Full trainable pytree: regression head + DISTS α/β (+ optional
-    video-stats head extension, run_test2_stats.py:122-135)."""
+    video-stats head extension, run_test2_stats.py:122-135; + optional
+    scene-type calibration, run_test2.py:218)."""
     head = init_head_params(train_dists_scores, train_targets, cfg)
     if n_stats > 0:
         head.update(init_stats_head(n_stats))
+    if n_scene_types > 0:
+        head.update(init_scene_type_head(n_scene_types))
     return {
         "head": head,
         "dists": dists_weights if dists_weights is not None
@@ -110,14 +114,18 @@ def forward(
     ref_imgs: jax.Array,
     cfg: FRModelConfig = FRModelConfig(),
     stats: jax.Array | None = None,
+    scene_types: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """(mos_pred, dists_score) for NHWC image batches
     (model_stats.py:92-102). ``stats``: optional (N, n_stats) per-video
-    DISTS statistics features (run_test2_stats.py:195)."""
+    DISTS statistics features (run_test2_stats.py:195). ``scene_types``:
+    optional (N,) int ids conditioning a per-type calibration
+    (run_test2.py:218)."""
     dists_scores = dists.forward(
         vgg_params, params["dists"], dist_imgs, ref_imgs, cfg.dists
     )
     pred = apply_head_with_stats(params["head"], dists_scores, stats, cfg)
+    pred = apply_scene_type(params["head"], pred, scene_types)
     return pred, dists_scores
 
 
@@ -165,6 +173,31 @@ def apply_head_with_stats(
     if stats is None or "stats_weight" not in head:
         return base
     return base + stats @ head["stats_weight"]
+
+
+def init_scene_type_head(n_scene_types: int = 2) -> dict[str, jax.Array]:
+    """Scene-type-conditioned calibration head. run_test2.py:218 passes
+    ``scene_type=`` into a model version that was never checked in
+    (SURVEY §2 #7 version-skew note); the superset interface is a
+    per-type affine on the regression output, identity-initialized so
+    enabling it is behavior-preserving until trained."""
+    return {
+        "scene_scale": jnp.ones((n_scene_types,), jnp.float32),
+        "scene_bias": jnp.zeros((n_scene_types,), jnp.float32),
+    }
+
+
+def apply_scene_type(
+    head: dict[str, jax.Array],
+    pred: jax.Array,
+    scene_types: jax.Array | None,
+) -> jax.Array:
+    """Per-scene-type affine calibration of head output; (N,) int ids
+    gather the type's (scale, bias). None falls back to the plain head."""
+    if scene_types is None or "scene_scale" not in head:
+        return pred
+    st = scene_types.astype(jnp.int32)
+    return pred * head["scene_scale"][st] + head["scene_bias"][st]
 
 
 def param_labels(params: dict[str, Any]) -> dict[str, Any]:

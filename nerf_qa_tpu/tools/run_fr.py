@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--entropy-loss-coeff", type=float, default=0.0)
     p.add_argument("--project-weights", action="store_true")
     p.add_argument("--head-lr-scale", type=float, default=1.0)
+    p.add_argument("--scene-type-conditioning", action="store_true",
+                   help="per-scene-type affine calibration of the head "
+                        "output (the scene_type= hook of run_test2.py:218)")
     p.add_argument("--video-stats-cols", default="",
                    help="comma-separated CSV columns of per-video DISTS "
                         "statistics fed to the regression head, e.g. "
@@ -145,6 +148,17 @@ def make_loader(args, df, seed: int, dataset: str | None = None,
     )
 
 
+SCENE_TYPE_IDS = {"real": 0, "synthetic": 1, "unknown": 2}
+
+
+def scene_type_lookup(df) -> dict[int, int]:
+    """{row index (video id): scene-type id} for the calibration head."""
+    return {
+        int(i): SCENE_TYPE_IDS.get(str(t), SCENE_TYPE_IDS["unknown"])
+        for i, t in enumerate(df.reset_index(drop=True)["scene_type"])
+    }
+
+
 def stats_lookup(df, cols: list[str]):
     """{row index (video id): per-video stats vector} from CSV columns."""
     return {
@@ -179,11 +193,13 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
     steps_per_epoch = max(1, len(train_loader))
     vgg_params = resolve_vgg_params(args.vgg_ckpt, seed=args.seed)
     dists_weights = resolve_dists_weights(model_cfg.dists, args.dists_weights)
+    n_scene_types = len(SCENE_TYPE_IDS) if args.scene_type_conditioning else 0
     trainer = FRTrainer(vgg_params, model_cfg, train_cfg,
                         steps_per_epoch=steps_per_epoch,
                         head_lr_scale=args.head_lr_scale,
                         dists_weights=dists_weights,
-                        n_stats=len(stats_cols))
+                        n_stats=len(stats_cols),
+                        n_scene_types=n_scene_types)
     # data-driven head init needs per-video DISTS values; compute them
     # with the pretrained metric when the CSV doesn't carry a DISTS
     # column (prep.py normally writes it)
@@ -197,6 +213,8 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
     y = train_df[args.subjective_score_type].values
     params, opt_state = trainer.init(x, y)
     train_stats = stats_lookup(train_df, stats_cols) if stats_cols else None
+    train_types = (scene_type_lookup(train_df)
+                   if args.scene_type_conditioning else None)
 
     sink = make_sink(args, run_dir)
     train_logger = MetricCollectionLogger(f"Train Metrics Dict", log_fn=sink)
@@ -216,8 +234,15 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
                     stats = np.stack([
                         train_stats[int(v)] for v in np.asarray(vid)
                     ])
+                scene_types = None
+                if train_types is not None:
+                    scene_types = np.asarray(
+                        [train_types[int(v)] for v in np.asarray(vid)],
+                        np.int32,
+                    )
                 params, opt_state, loss, aux = trainer.train_step(
-                    params, opt_state, dist, ref, score, stats=stats
+                    params, opt_state, dist, ref, score, stats=stats,
+                    scene_types=scene_types,
                 )
                 pred, dscore, _ = aux
                 train_logger.add_entries(
@@ -241,8 +266,11 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
         test_df = test_df.reset_index(drop=True)
         test_loader = make_loader(args, test_df, args.seed)
         test_stats = stats_lookup(test_df, stats_cols) if stats_cols else None
+        test_types = (scene_type_lookup(test_df)
+                      if args.scene_type_conditioning else None)
         result = trainer.score_dataloader(params, iter(test_loader),
-                                          stats_of_video=test_stats)
+                                          stats_of_video=test_stats,
+                                          scene_type_of_video=test_types)
         scene_of_test = dict(enumerate(test_df["scene"].tolist()))
         for vid, pred in result["pred_score"].items():
             test_logger.add_entries(
@@ -266,8 +294,11 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
                                  dataset=args.val_dataset or args.dataset,
                                  data_dir=args.val_data_dir)
         val_stats = stats_lookup(val_df, stats_cols) if stats_cols else None
+        val_types = (scene_type_lookup(val_df)
+                     if args.scene_type_conditioning else None)
         result = trainer.score_dataloader(params, iter(val_loader),
-                                          stats_of_video=val_stats)
+                                          stats_of_video=val_stats,
+                                          scene_type_of_video=val_types)
         val_logger = MetricCollectionLogger("Validation Metrics Dict",
                                             log_fn=sink)
         scene_of_val = dict(enumerate(val_df["scene"].tolist()))

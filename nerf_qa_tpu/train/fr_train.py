@@ -78,12 +78,14 @@ class FRTrainer:
         mesh=None,
         dists_weights: dists.DISTSWeights | None = None,
         n_stats: int = 0,
+        n_scene_types: int = 0,
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.mesh = mesh
         self.vgg_params = vgg_params
         self.n_stats = n_stats
+        self.n_scene_types = n_scene_types
         self.original_weights = (
             dists_weights if dists_weights is not None
             else dists.load_pretrained_weights(model_cfg.dists)
@@ -95,10 +97,10 @@ class FRTrainer:
 
     # -- step builders ---------------------------------------------------
     def loss_fn(self, params, dist_imgs, ref_imgs, targets,
-                sample_weights=None, stats=None):
+                sample_weights=None, stats=None, scene_types=None):
         pred, dists_score = fr.forward(
             params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg,
-            stats=stats,
+            stats=stats, scene_types=scene_types,
         )
         err = jnp.abs(pred - targets)
         if sample_weights is not None:
@@ -116,9 +118,10 @@ class FRTrainer:
 
     def _build_train_step(self):
         def step(params, opt_state, dist_imgs, ref_imgs, targets,
-                 sample_weights, stats):
+                 sample_weights, stats, scene_types):
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                params, dist_imgs, ref_imgs, targets, sample_weights, stats
+                params, dist_imgs, ref_imgs, targets, sample_weights, stats,
+                scene_types,
             )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -137,23 +140,23 @@ class FRTrainer:
             rsh = meshlib.replicated(self.mesh)
             return jax.jit(
                 step,
-                in_shardings=(rsh, rsh, dsh, dsh, dsh, dsh, dsh),
+                in_shardings=(rsh, rsh, dsh, dsh, dsh, dsh, dsh, dsh),
                 out_shardings=(rsh, rsh, rsh, (dsh, dsh, rsh)),
                 donate_argnums=donate,
             )
         return jax.jit(step, donate_argnums=donate)
 
     def _build_eval_step(self):
-        def step(params, dist_imgs, ref_imgs, stats):
+        def step(params, dist_imgs, ref_imgs, stats, scene_types):
             return fr.forward(
                 params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg,
-                stats=stats,
+                stats=stats, scene_types=scene_types,
             )
 
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
-            return jax.jit(step, in_shardings=(rsh, dsh, dsh, dsh),
+            return jax.jit(step, in_shardings=(rsh, dsh, dsh, dsh, dsh),
                            out_shardings=(dsh, dsh))
         return jax.jit(step)
 
@@ -178,11 +181,17 @@ class FRTrainer:
             return jnp.asarray(stats, jnp.float32)
         return jnp.zeros((n, max(self.n_stats, 1)), jnp.float32)
 
+    def _scene_types_or_zeros(self, scene_types, n: int):
+        if scene_types is not None:
+            return jnp.asarray(scene_types, jnp.int32)
+        return jnp.zeros((n,), jnp.int32)
+
     # -- public API -------------------------------------------------------
     def init(self, train_dists_scores, train_targets):
         params = fr.init_params(
             train_dists_scores, train_targets, self.model_cfg,
             dists_weights=self.original_weights, n_stats=self.n_stats,
+            n_scene_types=self.n_scene_types,
         )
         opt_state = self.optimizer.init(params)
         if self.mesh is not None:
@@ -191,7 +200,7 @@ class FRTrainer:
         return params, opt_state
 
     def train_step(self, params, opt_state, dist_imgs, ref_imgs, targets,
-                   sample_weights=None, stats=None):
+                   sample_weights=None, stats=None, scene_types=None):
         targets = jnp.asarray(targets, jnp.float32)
         if sample_weights is None:
             sample_weights = jnp.ones_like(targets)
@@ -200,6 +209,7 @@ class FRTrainer:
             jnp.asarray(dist_imgs), jnp.asarray(ref_imgs),
             targets, jnp.asarray(sample_weights, jnp.float32),
             self._stats_or_zeros(stats, targets.shape[0]),
+            self._scene_types_or_zeros(scene_types, targets.shape[0]),
         )
 
     def compute_dists_scores(self, batches: Iterable) -> dict:
@@ -247,19 +257,23 @@ class FRTrainer:
                 )
         return params, opt_state, float(np.mean(losses)) if losses else 0.0
 
-    def evaluate(self, params, dist_imgs, ref_imgs, stats=None):
+    def evaluate(self, params, dist_imgs, ref_imgs, stats=None,
+                 scene_types=None):
         return self._eval_step(
             params, jnp.asarray(dist_imgs), jnp.asarray(ref_imgs),
             self._stats_or_zeros(stats, np.shape(dist_imgs)[0]),
+            self._scene_types_or_zeros(scene_types, np.shape(dist_imgs)[0]),
         )
 
     def score_dataloader(self, params, batches: Iterable,
-                         stats_of_video=None) -> dict:
+                         stats_of_video=None,
+                         scene_type_of_video=None) -> dict:
         """Video-level scoring over an eval loader — the missing
         ``forward_dataloader`` capability (SURVEY §2 #7): per-frame
         forward, concat, then per-video means. ``stats_of_video``:
         optional {video_id: (n_stats,) array} for the stats-conditioned
-        head (run_test2_stats.py:195)."""
+        head (run_test2_stats.py:195). ``scene_type_of_video``: optional
+        {video_id: int} for the scene-type calibration (run_test2.py:218)."""
         preds: dict[Any, list] = {}
         dists_scores: dict[Any, list] = {}
         for batch in batches:
@@ -271,7 +285,14 @@ class FRTrainer:
                     stats_of_video[int(v)]
                     for v in np.atleast_1d(np.asarray(video_ids))
                 ]).astype(np.float32)
-            pred, ds = self.evaluate(params, dist_imgs, ref_imgs, stats)
+            scene_types = None
+            if scene_type_of_video is not None:
+                scene_types = np.asarray([
+                    scene_type_of_video[int(v)]
+                    for v in np.atleast_1d(np.asarray(video_ids))
+                ], np.int32)
+            pred, ds = self.evaluate(params, dist_imgs, ref_imgs, stats,
+                                     scene_types)
             for vid, p, d in zip(
                 np.atleast_1d(np.asarray(video_ids)),
                 np.asarray(pred),

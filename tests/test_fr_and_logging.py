@@ -125,6 +125,39 @@ def test_score_dataloader_video_pooling(vgg_params, fake_train_df):
     )
 
 
+def test_scene_type_head_identity_then_learns(vgg_params, fake_train_df):
+    """Scene-type calibration (run_test2.py:218 hook): identity at init,
+    and per-type affines absorb a type-dependent target offset that the
+    shared head cannot explain."""
+    x, y = fake_train_df
+    trainer = FRTrainer(vgg_params, FRModelConfig(),
+                        TrainConfig(lr=5e-2, schedule="constant"),
+                        n_scene_types=2)
+    params, opt_state = trainer.init(x, y)
+
+    rng = np.random.default_rng(5)
+    d = rng.random((8, 32, 32, 3), dtype=np.float32)
+    r = np.clip(d + rng.normal(0, 0.1, d.shape).astype(np.float32), 0, 1)
+    st = np.tile(np.array([0, 1], np.int32), 4)
+
+    pred_plain, _ = trainer.evaluate(params, d, r)
+    pred_typed, _ = trainer.evaluate(params, d, r, scene_types=st)
+    np.testing.assert_allclose(np.asarray(pred_plain),
+                               np.asarray(pred_typed), atol=1e-6)
+
+    targets = (3.0 + 2.0 * st).astype(np.float32)
+    for _ in range(40):
+        params, opt_state, loss, _ = trainer.train_step(
+            params, opt_state, d, r, targets, scene_types=st
+        )
+    p0, _ = trainer.evaluate(params, d, r,
+                             scene_types=np.zeros(8, np.int32))
+    p1, _ = trainer.evaluate(params, d, r,
+                             scene_types=np.ones(8, np.int32))
+    # identical inputs: only the calibration separates the types
+    assert float(np.mean(np.asarray(p1) - np.asarray(p0))) > 1.0
+
+
 def test_group_kfold_no_scene_leakage():
     groups = np.repeat(np.arange(8), 5)
     for train_idx, test_idx in group_kfold_splits(groups, 4):

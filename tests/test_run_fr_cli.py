@@ -34,6 +34,7 @@ def test_run_fr_stats_head_and_cross_dataset_val(fr_tree, tmp_path):
         "--num-workers", "0", "--regression-type", "linear",
         "--dists-variant", "main", "--schedule", "constant",
         "--video-stats-cols", "DISTS_std,DISTS_min,DISTS_max",
+        "--scene-type-conditioning",
         "--val-dataset", "test2", "--val-data-dir", root,
         "--val-scores-csv", csv,
         "--output-dir", out,
@@ -47,6 +48,7 @@ def test_run_fr_stats_head_and_cross_dataset_val(fr_tree, tmp_path):
     with open(os.path.join(out, "config.json")) as f:
         cfg = json.load(f)
     assert cfg["video_stats_cols"] == "DISTS_std,DISTS_min,DISTS_max"
+    assert cfg["scene_type_conditioning"] is True
 
 
 def test_run_fr_head_init_without_dists_column(fr_tree, tmp_path):
