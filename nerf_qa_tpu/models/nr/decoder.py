@@ -174,10 +174,11 @@ class RefineUpLegacy(nn.Module):
                       norm_type="batch")(h, deterministic)
         pred = self.refine_scale2 * h[..., :fc] + dists_feat[..., :fc]
         if self.upsample:
-            # raw transposed conv (reference uses bare nn.ConvTranspose2d,
-            # model_nr.py:59-61 / model_nr_v6.py:62)
+            # raw transposed conv (reference uses bare nn.ConvTranspose2d
+            # k3 s2 p1 outp1, model_nr.py:59-61 / model_nr_v6.py:62);
+            # padding ((1,2),(1,2)) is torch's exact output alignment
             h = nn.ConvTranspose(self.output_chns, (3, 3), strides=(2, 2),
-                                 padding="SAME")(h)
+                                 padding=((1, 2), (1, 2)))(h)
         elif self.always_resample:
             h = ConvLayer(self.output_chns, activation=False,
                           dropout_rate=self.dropout_rate,

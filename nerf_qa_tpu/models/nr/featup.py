@@ -64,7 +64,7 @@ class JBU(nn.Module):
         # learned range projection (FeatUp range_proj Sequential:
         # Conv1x1 -> GELU -> Dropout2d(0.1) -> Conv1x1)
         k = nn.Conv(self.key_dim, (1, 1), name="range_proj_in")(guidance)
-        k = nn.gelu(k)
+        k = nn.gelu(k, approximate=False)  # torch nn.GELU (exact erf)
         k = Dropout2d(0.1)(k, deterministic)
         proj = nn.Conv(self.key_dim, (1, 1), name="range_proj_out")(k)
 

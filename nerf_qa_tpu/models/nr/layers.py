@@ -38,7 +38,7 @@ class ChannelNorm(nn.Module):
 
     Statistics always accumulate in fp32 (bf16 mean/var loses the
     DISTS-relevant precision); output returns in the input dtype.
-    ``gelu=True`` fuses the block's tanh-GELU activation into the same
+    ``gelu=True`` fuses the block's GELU activation into the same
     pass (one HBM round-trip instead of three on TPU via the Pallas
     kernel, ops/pallas/channelnorm.py)."""
 
@@ -59,7 +59,9 @@ class ChannelNorm(nn.Module):
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
         if gelu:
-            y = nn.gelu(y)
+            # exact (erf) GELU: torch nn.GELU's default, so converted
+            # reference checkpoints reproduce bit-faithfully
+            y = nn.gelu(y, approximate=False)
         return y.astype(in_dtype)
 
 
@@ -120,11 +122,14 @@ class ConvTransposeLayer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = Dropout2d(self.dropout_rate)(x.astype(self.dtype), deterministic)
-        # torch ConvTranspose2d(3, stride 2, pad 1, out_pad 1) == exact 2x;
-        # flax ConvTranspose with SAME padding and stride 2 matches the
-        # output geometry (H*2, W*2).
+        # torch ConvTranspose2d(3, stride 2, pad 1, out_pad 1) == exact 2x.
+        # padding ((1,2),(1,2)) reproduces torch's output alignment
+        # EXACTLY (verified vs a torch oracle; plain "SAME" is the same
+        # geometry shifted by one pixel), so reference checkpoints import
+        # bit-faithfully (compat/torch_nr.py flips the kernel spatially —
+        # torch's transposed conv correlates with the flipped kernel).
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype)(x)
+                             padding=((1, 2), (1, 2)), dtype=self.dtype)(x)
         if self.norm_type == "channel":
             x = ChannelNorm(self.features)(x, gelu=self.activation)
         else:
@@ -145,7 +150,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU (exact erf)
         x = nn.Dense(self.out, dtype=self.dtype)(x)
         return x
 
@@ -208,13 +213,16 @@ class TransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     layer_scale_init: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    # torch nn.LayerNorm's default — the NR transformer_decoder blocks
+    # (block.py norm_layer=nn.LayerNorm). DINOv2's ViT overrides 1e-6.
+    norm_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps)(x)
         h = Attention(self.dim, self.num_heads, dtype=self.dtype)(h)
         x = x + LayerScale(self.dim, self.layer_scale_init)(h)
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps)(x)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
                 dtype=self.dtype)(h)
         x = x + LayerScale(self.dim, self.layer_scale_init)(h)

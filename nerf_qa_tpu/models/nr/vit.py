@@ -62,9 +62,10 @@ class ViTS14(nn.Module):
             tokens = TransformerBlock(
                 self.embed_dim, self.num_heads,
                 layer_scale_init=self.layer_scale_init,
+                norm_eps=1e-6,  # DINOv2: partial(nn.LayerNorm, eps=1e-6)
                 name=f"block{i}",
             )(tokens)
-        tokens = nn.LayerNorm(name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
 
         n_prefix = 1 + self.num_registers
         return {

@@ -34,8 +34,12 @@ and row tiles of 512 keep several fp32 temporaries comfortably in VMEM.
 C need not be a multiple of 128 (Mosaic masks the lane padding) — the NR
 decoder's 387/448-channel maps hit this.
 
-GELU uses the tanh approximation, matching ``flax.linen.gelu``'s default
-(`approximate=True`) used by the oracle path in models/nr/layers.py.
+GELU uses the tanh approximation. NOTE: models/nr/layers.py now uses the
+EXACT (erf) GELU for torch-checkpoint parity (torch nn.GELU's default),
+so this opt-in kernel additionally differs from the module path by the
+tanh-vs-erf approximation (~1e-3 max) — one more reason it stays a
+reference formulation rather than the default (it is a measured
+performance negative regardless, see the module docstring above).
 """
 from __future__ import annotations
 

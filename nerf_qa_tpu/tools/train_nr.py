@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test-max-frames", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from", default=None,
+                   help="orbax checkpoint dir to initialize the decoder "
+                        "params from (fresh optimizer state) — e.g. a "
+                        "reference torch NR model converted with "
+                        "python -m nerf_qa_tpu.compat.torch_nr")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--decoder-dtype", default="bfloat16",
@@ -212,6 +217,15 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(args.output_dir, "ckpt")
     start_epoch = 0
+    if args.init_from:
+        restored = restore_checkpoint(args.init_from)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.init_from}")
+        _, ckpt = restored
+        params = ckpt["params"]
+        state = ckpt.get("state") or state
+        opt_state = trainer.optimizer.init(params)
+        print(f"initialized decoder params from {args.init_from}")
     if args.resume:
         restored = restore_checkpoint(ckpt_dir)
         if restored:

@@ -36,10 +36,12 @@ def batch():
 def test_all_versions_train(version, batch):
     """losses() + train steps for every generation: finite, decreasing.
 
-    The BatchNorm generations (v1-v6) jolt upward for ~2 steps while the
-    batch statistics settle, then descend steadily (measured: v1 at
-    lr 1e-3 goes 0.063 -> 0.186 -> monotone down to 0.047 by step 23), so
-    descent is asserted from step 2 onward."""
+    The BatchNorm generations (v1-v6) jolt upward for a few steps while
+    the batch statistics settle, then descend steadily; the zero-seeded
+    v1/v2 cascades peak latest (measured with the torch-exact
+    ConvTranspose alignment: peak at step 4 — v1 0.156 / v2 0.171 —
+    then monotone descent to 0.092/0.105 by step 20), so those run
+    longer and descent is asserted from step 2 onward."""
     gt, render, r224 = batch
     cfg = NRModelConfig(version=version, transformer_decoder_depth=1,
                         refine_up_depth=1, dropout_rate=0.0)
@@ -52,7 +54,7 @@ def test_all_versions_train(version, batch):
     std = jnp.asarray([0.05, 0.06])
     mean = jnp.asarray([0.3, 0.35])
     traj = []
-    for _ in range(10):
+    for _ in range(20 if version <= 2 else 10):
         params, state, opt_state, losses, rng = trainer.train_step(
             params, state, opt_state, gt, render, r224, rng, std, mean
         )
