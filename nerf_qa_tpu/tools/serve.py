@@ -1,0 +1,262 @@
+"""Persistent scoring service: keep the compiled DISTS/ADISTS pipeline
+warm and stream scoring requests through it.
+
+The reference has no serving story — every evaluation is a cold script
+run that rebuilds the model (run_test2.py:278-297). On TPU the dominant
+cost of a cold run is XLA compilation (tens of seconds), so a production
+deployment wants a resident process: compile once at startup, then score
+request streams at the chip's steady-state rate (the bench.py pipeline).
+
+Two transports, both line-oriented JSON so any client can drive them:
+
+* ``--stdio``: read one JSON request per stdin line, write one JSON
+  response per stdout line (the subprocess/sidecar integration mode).
+* ``--http PORT``: ThreadingHTTPServer with POST /score (same request
+  schema, a JSON object or list of them) and GET /healthz (liveness +
+  throughput counters). Device work is serialized by a lock; decode and
+  HTTP parsing run in the request threads.
+
+Request schema:  {"id": any, "dist": path, "ref": path}
+  ``dist``/``ref``: image file, frame directory, or mp4 (MJPEG mp4s
+  decode natively; see data/video.py). Frames pair up in sorted order.
+Response:        {"id", "frames": N, "dists": mean, "dists_frames": [...]}
+  plus ``"adists"``/``"adists_frames"`` with --metric both|adists,
+  or {"id", "error": msg} for malformed requests (the service stays up).
+
+Example:
+  python -m nerf_qa_tpu.tools.serve --stdio --metric dists <<'EOF'
+  {"id": 1, "dist": "render_dir", "ref": "gt_dir"}
+  EOF
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+class ScoringService:
+    """Warm-pipeline scorer for (dist, ref) path requests."""
+
+    def __init__(self, args, vgg_params, dists_weights):
+        from nerf_qa_tpu.config import ADISTSConfig, DISTSConfig
+        from nerf_qa_tpu.eval.video_scorer import FrameScorer
+
+        dtype = "float32" if args.fp32 else "bfloat16"
+        self.args = args
+        self.batch_size = args.batch_size
+        self.want_dists = args.metric in ("dists", "both")
+        self.want_adists = args.metric in ("adists", "both")
+        # frames are resized on the host by _load_frames (tools/score
+        # semantics); the device pipeline scores them as-is
+        self.scorer = FrameScorer(
+            vgg_params, dists_weights,
+            DISTSConfig(compute_dtype=dtype,
+                        stats_impl="pallas" if dtype == "bfloat16" else "xla"),
+            resize_to=None,
+        ) if self.want_dists else None
+        self._adists_step = None
+        if self.want_adists:
+            import jax
+
+            from nerf_qa_tpu.core import adists
+            from nerf_qa_tpu.eval.video_scorer import _prep
+
+            acfg = ADISTSConfig(compute_dtype=dtype)
+
+            @jax.jit
+            def astep(d, r):
+                x = _prep(d, None, False, dtype == "bfloat16")
+                y = _prep(r, None, False, dtype == "bfloat16")
+                return adists.forward(vgg_params, x, y, acfg, as_loss=False)
+
+            self._adists_step = astep
+        self._lock = threading.Lock()  # one device, one queue
+        self.n_requests = 0
+        self.n_frames = 0
+        self.device_s = 0.0
+        self.started = time.time()
+
+    # -- device work -----------------------------------------------------
+    def warmup(self, hw: tuple[int, int] = (64, 64)) -> None:
+        """Trigger compilation before serving traffic."""
+        d = np.zeros((self.batch_size, *hw, 3), np.float32)
+        self._score_arrays(d, d)
+
+    def _adists_frames(self, dist: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        import jax
+
+        n, bs = dist.shape[0], self.batch_size
+        out = np.empty((n,), np.float32)
+        for lo in range(0, n, bs):
+            hi = min(lo + bs, n)
+            db, rb = dist[lo:hi], ref[lo:hi]
+            if hi - lo < bs:
+                pad = bs - (hi - lo)
+                db = np.concatenate([db, np.repeat(db[-1:], pad, 0)])
+                rb = np.concatenate([rb, np.repeat(rb[-1:], pad, 0)])
+            s = np.asarray(jax.block_until_ready(self._adists_step(db, rb)))
+            out[lo:hi] = s[: hi - lo]
+        return out
+
+    def _score_arrays(self, dist: np.ndarray, ref: np.ndarray) -> dict:
+        t0 = time.perf_counter()
+        out: dict = {"frames": int(dist.shape[0])}
+        with self._lock:
+            if self.scorer is not None:
+                s = self.scorer.score_frames(dist, ref, self.batch_size)
+                out["dists"] = float(s.mean())
+                out["dists_frames"] = [float(v) for v in s]
+            if self._adists_step is not None:
+                s = self._adists_frames(dist, ref)
+                out["adists"] = float(s.mean())
+                out["adists_frames"] = [float(v) for v in s]
+            self.device_s += time.perf_counter() - t0
+            self.n_frames += int(dist.shape[0])
+            self.n_requests += 1
+        return out
+
+    # -- request handling ------------------------------------------------
+    def handle(self, req: dict) -> dict:
+        from nerf_qa_tpu.tools.score import _load_frames
+
+        rid = req.get("id")
+        try:
+            dist = _load_frames(str(req["dist"]), resize=not self.args.full_size,
+                                keep_aspect=self.args.keep_aspect)
+            ref = _load_frames(str(req["ref"]), resize=not self.args.full_size,
+                               keep_aspect=self.args.keep_aspect)
+            if dist.shape[0] != ref.shape[0]:
+                raise ValueError(
+                    f"frame count mismatch: {dist.shape[0]} vs {ref.shape[0]}"
+                )
+            if dist.shape != ref.shape:
+                raise ValueError(
+                    f"shape mismatch: {dist.shape} vs {ref.shape}"
+                )
+            return {"id": rid, **self._score_arrays(dist, ref)}
+        except Exception as e:  # malformed request; keep serving
+            return {"id": rid, "error": f"{type(e).__name__}: {e}"}
+
+    def stats(self) -> dict:
+        up = time.time() - self.started
+        return {
+            "ok": True,
+            "uptime_s": round(up, 1),
+            "requests": self.n_requests,
+            "frames": self.n_frames,
+            "device_fps": round(self.n_frames / self.device_s, 2)
+            if self.device_s else None,
+        }
+
+
+def serve_stdio(service: ScoringService, lines=None, out=None) -> int:
+    lines = sys.stdin if lines is None else lines
+    out = sys.stdout if out is None else out
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            resp = {"id": None, "error": f"JSONDecodeError: {e}"}
+        else:
+            resp = service.handle(req)
+        out.write(json.dumps(resp) + "\n")
+        out.flush()
+    return 0
+
+
+def make_http_server(service: ScoringService, port: int, host="127.0.0.1"):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+            except Exception as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+                return
+            if isinstance(req, list):
+                self._reply(200, [service.handle(r) for r in req])
+            else:
+                self._reply(200, service.handle(req))
+
+        def log_message(self, *a):  # quiet; stats live in /healthz
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from nerf_qa_tpu.compat.pretrained import add_backbone_args
+
+    p = argparse.ArgumentParser(description="persistent scoring service")
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--stdio", action="store_true")
+    mode.add_argument("--http", type=int, metavar="PORT")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--metric", default="dists",
+                   choices=["dists", "adists", "both"])
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 parity pipeline (default: bf16 serving)")
+    p.add_argument("--full-size", action="store_true",
+                   help="score at native resolution (shape-bucketed "
+                        "compiles per input size)")
+    p.add_argument("--keep-aspect", action="store_true")
+    p.add_argument("--no-warmup", action="store_true")
+    add_backbone_args(p)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from nerf_qa_tpu.compat.pretrained import (
+        resolve_dists_weights,
+        resolve_vgg_params,
+    )
+    from nerf_qa_tpu.config import DISTSConfig
+
+    vgg = resolve_vgg_params(args.vgg_ckpt, seed=0)
+    weights = resolve_dists_weights(DISTSConfig(), args.dists_weights)
+    service = ScoringService(args, vgg, weights)
+    if not args.no_warmup and not args.full_size:
+        t0 = time.perf_counter()
+        service.warmup((256, 256))
+        print(f"warmed up in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+    if args.stdio:
+        return serve_stdio(service)
+    server = make_http_server(service, args.http, args.host)
+    print(f"serving on http://{args.host}:{args.http}", file=sys.stderr)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    main()
