@@ -45,61 +45,74 @@ def _load_frames(path: str, resize: bool, keep_aspect: bool) -> np.ndarray:
     return img[None]
 
 
+class NRScorer:
+    """Warm no-reference scorer: render frames -> (256², 224²) -> NRModel
+    forward (train-nr.py:305-315 per-video semantics). Built once, jitted
+    once; reused by the score CLI and the serving daemon."""
+
+    def __init__(self, args, vgg):
+        import jax
+
+        from nerf_qa_tpu.compat import pretrained
+        from nerf_qa_tpu.compat.checkpoint import restore_checkpoint
+        from nerf_qa_tpu.config import DISTSConfig, NRModelConfig
+        from nerf_qa_tpu.models.nr.model import NRModel
+        from nerf_qa_tpu.models.nr.vit import ViTS14
+
+        if not args.nr_ckpt:
+            raise SystemExit("--nr needs --nr-ckpt (a train_nr checkpoint dir)")
+        cfg = NRModelConfig(
+            version=args.nr_version,
+            refine_up_depth=args.refine_up_depth,
+            transformer_decoder_depth=args.transformer_decoder_depth,
+            dists=DISTSConfig(
+                compute_dtype="float32" if args.fp32 else "bfloat16"
+            ),
+        )
+        model = NRModel(
+            vgg, cfg=cfg, vit=ViTS14(depth=args.vit_depth),
+            vit_params=pretrained.resolve_vit_params(
+                getattr(args, "vit_ckpt", None), depth=args.vit_depth
+            ),
+            jbu_params=(pretrained.resolve_jbu_params(
+                getattr(args, "jbu_ckpt", None)) if cfg.version >= 7 else None),
+        )
+        restored = restore_checkpoint(args.nr_ckpt)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.nr_ckpt}")
+        _, ckpt = restored
+        self.params, self.state = ckpt["params"], ckpt.get("state") or {}
+        self._step = jax.jit(
+            lambda p, s, a, b: model.forward(p, a, b, state=s)
+        )
+        self.batch_size = args.batch_size
+
+    def score_frames(self, frames: np.ndarray) -> np.ndarray:
+        """Per-frame NR scores for full-size float frames (N,H,W,3)."""
+        from nerf_qa_tpu.data.imaging import resize_image
+
+        r256 = np.stack([resize_image(f, 256, 256) for f in frames])
+        r224 = np.stack([resize_image(f, 224, 224) for f in frames])
+        n = r256.shape[0]
+        bs = min(self.batch_size, n)
+        out = np.empty((n,), np.float32)
+        for lo in range(0, n, bs):
+            hi = min(lo + bs, n)
+            a, b = r256[lo:hi], r224[lo:hi]
+            if hi - lo < bs:
+                pad = bs - (hi - lo)
+                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
+            scores = np.asarray(self._step(self.params, self.state, a, b))
+            out[lo:hi] = scores[: hi - lo]
+        return out
+
+
 def _score_nr(args, vgg) -> int:
-    """No-reference scoring path: render -> (256², 224²) -> NRModel
-    forward (train-nr.py:305-315 per-video semantics)."""
-    import jax
-
-    from nerf_qa_tpu.compat import pretrained
-    from nerf_qa_tpu.compat.checkpoint import restore_checkpoint
-    from nerf_qa_tpu.config import DISTSConfig, NRModelConfig
-    from nerf_qa_tpu.data.imaging import resize_image
-    from nerf_qa_tpu.models.nr.model import NRModel
-    from nerf_qa_tpu.models.nr.vit import ViTS14
-
-    if not args.nr_ckpt:
-        raise SystemExit("--nr needs --nr-ckpt (a train_nr checkpoint dir)")
+    """No-reference scoring CLI path (see NRScorer)."""
     frames = _load_frames(args.dist, resize=False, keep_aspect=False)
-    r256 = np.stack([resize_image(f, 256, 256) for f in frames])
-    r224 = np.stack([resize_image(f, 224, 224) for f in frames])
-
-    cfg = NRModelConfig(
-        version=args.nr_version,
-        refine_up_depth=args.refine_up_depth,
-        transformer_decoder_depth=args.transformer_decoder_depth,
-        dists=DISTSConfig(
-            compute_dtype="float32" if args.fp32 else "bfloat16"
-        ),
-    )
-    model = NRModel(
-        vgg, cfg=cfg, vit=ViTS14(depth=args.vit_depth),
-        vit_params=pretrained.resolve_vit_params(
-            getattr(args, "vit_ckpt", None), depth=args.vit_depth
-        ),
-        jbu_params=(pretrained.resolve_jbu_params(
-            getattr(args, "jbu_ckpt", None)) if cfg.version >= 7 else None),
-    )
-    restored = restore_checkpoint(args.nr_ckpt)
-    if restored is None:
-        raise SystemExit(f"no checkpoint found in {args.nr_ckpt}")
-    _, ckpt = restored
-    params, state = ckpt["params"], ckpt.get("state") or {}
-
-    step = jax.jit(
-        lambda p, s, a, b: model.forward(p, a, b, state=s)
-    )
-    n = r256.shape[0]
-    bs = min(args.batch_size, n)
-    out = np.empty((n,), np.float32)
-    for lo in range(0, n, bs):
-        hi = min(lo + bs, n)
-        a, b = r256[lo:hi], r224[lo:hi]
-        if hi - lo < bs:
-            pad = bs - (hi - lo)
-            a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
-            b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
-        scores = np.asarray(step(params, state, a, b))
-        out[lo:hi] = scores[: hi - lo]
+    out = NRScorer(args, vgg).score_frames(frames)
+    n = len(out)
 
     if args.out_csv:
         rows = [f"{i},{out[i]:.6f}" for i in range(n)]

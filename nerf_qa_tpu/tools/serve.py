@@ -19,9 +19,15 @@ Two transports, both line-oriented JSON so any client can drive them:
 Request schema:  {"id": any, "dist": path, "ref": path}
   ``dist``/``ref``: image file, frame directory, or mp4 (MJPEG mp4s
   decode natively; see data/video.py). Frames pair up in sorted order.
+  A request WITHOUT "ref" takes the no-reference path (requires starting
+  the service with --nr-ckpt; train-nr.py:299-375 test-loop semantics).
 Response:        {"id", "frames": N, "dists": mean, "dists_frames": [...]}
-  plus ``"adists"``/``"adists_frames"`` with --metric both|adists,
-  or {"id", "error": msg} for malformed requests (the service stays up).
+  plus ``"adists"``/``"adists_frames"`` with --metric both|adists, or
+  {"id", "frames", "nr", "nr_frames"} for no-reference requests, or
+  {"id", "error": msg} for malformed requests (the service stays up).
+
+--data-parallel shards request batches over ALL visible devices (a
+jax.sharding data mesh; gradients-free scoring scales linearly over ICI).
 
 Example:
   python -m nerf_qa_tpu.tools.serve --stdio --metric dists <<'EOF'
@@ -51,14 +57,25 @@ class ScoringService:
         self.batch_size = args.batch_size
         self.want_dists = args.metric in ("dists", "both")
         self.want_adists = args.metric in ("adists", "both")
+        mesh = None
+        if getattr(args, "data_parallel", False):
+            from nerf_qa_tpu.parallel import mesh as meshlib
+
+            mesh = meshlib.create_mesh()
+        self.mesh = mesh
         # frames are resized on the host by _load_frames (tools/score
         # semantics); the device pipeline scores them as-is
         self.scorer = FrameScorer(
             vgg_params, dists_weights,
             DISTSConfig(compute_dtype=dtype,
                         stats_impl="pallas" if dtype == "bfloat16" else "xla"),
-            resize_to=None,
+            resize_to=None, mesh=mesh,
         ) if self.want_dists else None
+        self.nr_scorer = None
+        if getattr(args, "nr_ckpt", None):
+            from nerf_qa_tpu.tools.score import NRScorer
+
+            self.nr_scorer = NRScorer(args, vgg_params)
         self._adists_step = None
         if self.want_adists:
             import jax
@@ -126,6 +143,23 @@ class ScoringService:
 
         rid = req.get("id")
         try:
+            if "ref" not in req:
+                if self.nr_scorer is None:
+                    raise ValueError(
+                        "no-reference request but the service was started "
+                        "without --nr-ckpt"
+                    )
+                frames = _load_frames(str(req["dist"]), resize=False,
+                                      keep_aspect=False)
+                t0 = time.perf_counter()
+                with self._lock:
+                    s = self.nr_scorer.score_frames(frames)
+                    self.device_s += time.perf_counter() - t0
+                    self.n_frames += len(s)
+                    self.n_requests += 1
+                return {"id": rid, "frames": len(s),
+                        "nr": float(s.mean()),
+                        "nr_frames": [float(v) for v in s]}
             dist = _load_frames(str(req["dist"]), resize=not self.args.full_size,
                                 keep_aspect=self.args.keep_aspect)
             ref = _load_frames(str(req["ref"]), resize=not self.args.full_size,
@@ -229,6 +263,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "compiles per input size)")
     p.add_argument("--keep-aspect", action="store_true")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard scoring batches over all visible devices")
+    # no-reference serving (requests without "ref"): a trained NR
+    # checkpoint + the architecture flags it was trained with
+    p.add_argument("--nr-ckpt", default=None,
+                   help="train_nr orbax checkpoint dir enabling "
+                        "no-reference requests")
+    p.add_argument("--nr-version", type=int, default=8)
+    p.add_argument("--refine-up-depth", type=int, default=2)
+    p.add_argument("--transformer-decoder-depth", type=int, default=2)
+    p.add_argument("--vit-depth", type=int, default=12)
     add_backbone_args(p)
     return p
 

@@ -103,3 +103,64 @@ def test_http_roundtrip(service, pair_dirs):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_nr_request_without_ckpt_errors(service, pair_dirs):
+    _, dist_dir = pair_dirs
+    resp = service.handle({"id": "x", "dist": dist_dir})
+    assert "error" in resp and "--nr-ckpt" in resp["error"]
+
+
+def test_data_parallel_matches_single(service, pair_dirs):
+    """--data-parallel shards batches over the 8-device virtual mesh and
+    reproduces the single-device scores."""
+    ref_dir, dist_dir = pair_dirs
+    args = build_parser().parse_args(
+        ["--stdio", "--fp32", "--metric", "dists", "--batch-size", "2",
+         "--data-parallel"]
+    )
+    vgg = resolve_vgg_params(None, seed=0)
+    weights = resolve_dists_weights(DISTSConfig(), None)
+    dp = ScoringService(args, vgg, weights)
+    got = dp.handle({"id": 1, "dist": dist_dir, "ref": ref_dir})
+    want = service.handle({"id": 1, "dist": dist_dir, "ref": ref_dir})
+    assert "error" not in got, got
+    np.testing.assert_allclose(got["dists_frames"], want["dists_frames"],
+                               atol=1e-5)
+
+
+def test_nr_request(pair_dirs, tmp_path):
+    """A request without "ref" takes the no-reference path through a
+    checkpointed NR model (train-nr.py:305-315 semantics)."""
+    import jax  # noqa: F401
+
+    from nerf_qa_tpu.compat.checkpoint import save_checkpoint
+    from nerf_qa_tpu.config import NRModelConfig
+    from nerf_qa_tpu.core.vgg import init_vgg16_params
+    from nerf_qa_tpu.models.nr.model import NRModel
+    from nerf_qa_tpu.models.nr.vit import ViTS14
+    from nerf_qa_tpu.config import DISTSConfig as DC
+
+    cfg = NRModelConfig(version=8, refine_up_depth=1,
+                        transformer_decoder_depth=0,
+                        dists=DC(compute_dtype="float32"))
+    model = NRModel(init_vgg16_params(seed=0), cfg=cfg, vit=ViTS14(depth=1))
+    params, state = model.init(seed=0)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 1, {"params": params, "state": state})
+
+    _, dist_dir = pair_dirs
+    args = build_parser().parse_args(
+        ["--stdio", "--fp32", "--metric", "dists", "--batch-size", "3",
+         "--nr-ckpt", ckpt_dir, "--nr-version", "8",
+         "--refine-up-depth", "1", "--transformer-decoder-depth", "0",
+         "--vit-depth", "1"]
+    )
+    vgg = init_vgg16_params(seed=0)
+    weights = resolve_dists_weights(DISTSConfig(), None)
+    svc = ScoringService(args, vgg, weights)
+    resp = svc.handle({"id": "nr1", "dist": dist_dir})
+    assert "error" not in resp, resp
+    assert resp["frames"] == 3
+    assert np.isfinite(resp["nr"])
+    assert len(resp["nr_frames"]) == 3
