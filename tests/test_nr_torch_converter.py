@@ -211,3 +211,33 @@ def test_alpha_beta_extraction():
     ab = extract_dists_alpha_beta(sd)
     assert ab is not None and ab["alpha"].shape == (59,)
     assert extract_dists_alpha_beta(make_state_dict(rng)) is None
+
+
+def test_converter_cli_roundtrip(tmp_path):
+    """CLI: torch state-dict file -> orbax checkpoint dir consumable by
+    restore_checkpoint (score --nr-ckpt / train_nr --init-from glue)."""
+    import jax
+
+    from nerf_qa_tpu.compat.checkpoint import restore_checkpoint
+    from nerf_qa_tpu.compat.torch_nr import main as convert_main
+
+    rng = np.random.default_rng(2)
+    sd = make_state_dict(rng)
+    sd["encoder.dists.alpha"] = _t(rng, 1, 59, 1, 1)
+    sd["encoder.dists.beta"] = _t(rng, 1, 59, 1, 1)
+    pth = str(tmp_path / "model_state.pth")
+    torch.save(sd, pth)
+
+    out_dir = str(tmp_path / "ckpt")
+    convert_main([pth, out_dir])
+    restored = restore_checkpoint(out_dir)
+    assert restored is not None
+    step, ckpt = restored
+    want = convert_nr_decoder({k: v for k, v in sd.items()
+                               if not k.startswith("encoder.")})
+    got = ckpt["params"]
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), got, want)
+    assert all(jax.tree_util.tree_leaves(same))
+    np.testing.assert_allclose(ckpt["dists_alpha_beta"]["alpha"],
+                               np.asarray(sd["encoder.dists.alpha"]).reshape(-1))
