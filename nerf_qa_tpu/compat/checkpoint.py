@@ -108,3 +108,22 @@ def convert_fr_head_from_torch(path: str) -> dict[str, np.ndarray]:
                 state[key].detach().numpy().reshape(-1)
             )
     return out
+
+
+def convert_fr_model_from_torch(path: str):
+    """Full FR ``model.pth`` import: (head, alpha_beta|None, vgg|None).
+
+    The saved NeRFQAModel embeds its frozen DISTS (``dists.stageK.*``
+    VGG stages + fine-tuned ``dists.alpha/beta``, model_stats.py:63-68)
+    alongside the regression head, so one file restores the whole
+    scoring path. See convert_fr_head_from_torch for the head mapping.
+    """
+    from nerf_qa_tpu.compat.torch_nr import extract_dists_alpha_beta
+    from nerf_qa_tpu.compat.torch_weights import extract_vgg16_from_dists
+
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    head = convert_fr_head_from_torch(path)
+    return head, extract_dists_alpha_beta(sd), extract_vgg16_from_dists(sd)

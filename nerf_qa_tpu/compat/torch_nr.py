@@ -164,7 +164,8 @@ def convert_nr_decoder(state_dict: Mapping[str, Any]) -> dict:
 
 def extract_dists_alpha_beta(state_dict: Mapping[str, Any]):
     """Fine-tuned DISTS α/β from the embedded frozen metric, if present."""
-    for pre in ("encoder.dists.", "dists."):
+    # NR: encoder.dists.*; FR: dists_model.* (model_stats.py:68)
+    for pre in ("encoder.dists.", "dists_model.", "dists."):
         if f"{pre}alpha" in state_dict:
             return {
                 "alpha": _np(state_dict[f"{pre}alpha"]).reshape(-1),
@@ -174,8 +175,13 @@ def extract_dists_alpha_beta(state_dict: Mapping[str, Any]):
 
 
 def load_nr_from_torch_file(path: str):
-    """(decoder_params, alpha_beta|None) from a torch checkpoint file."""
+    """(decoder_params, alpha_beta|None, vgg_params|None) from a torch
+    checkpoint file. The frozen VGG stages embedded in the saved model
+    (``encoder.dists.stageK.*``) convert too, so one model.pth carries
+    everything but the ViT/JBU backbones."""
     import torch
+
+    from nerf_qa_tpu.compat.torch_weights import extract_vgg16_from_dists
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
@@ -183,7 +189,8 @@ def load_nr_from_torch_file(path: str):
     if not isinstance(obj, dict):
         raise ValueError(f"{path}: expected a state_dict or module")
     sd = obj.get("state_dict", obj)
-    return convert_nr_decoder(sd), extract_dists_alpha_beta(sd)
+    return (convert_nr_decoder(sd), extract_dists_alpha_beta(sd),
+            extract_vgg16_from_dists(sd))
 
 
 def main(argv=None) -> None:
@@ -200,12 +207,21 @@ def main(argv=None) -> None:
     p.add_argument("torch_path")
     p.add_argument("out_dir")
     args = p.parse_args(argv)
-    decoder_params, alpha_beta = load_nr_from_torch_file(args.torch_path)
+    decoder_params, alpha_beta, vgg = load_nr_from_torch_file(args.torch_path)
     ckpt = {"params": decoder_params, "state": {}}
     if alpha_beta is not None:
         ckpt["dists_alpha_beta"] = alpha_beta
     path = save_checkpoint(args.out_dir, 0, ckpt)
     print(f"wrote {path}")
+    if vgg is not None:
+        import os
+
+        from nerf_qa_tpu.compat.torch_weights import export_vgg16_to_npz
+
+        npz = os.path.join(args.out_dir, "vgg16.npz")
+        export_vgg16_to_npz(vgg, npz)
+        print(f"wrote {npz} (embedded frozen VGG; point "
+              f"$NERF_QA_VGG_CKPT / --vgg-ckpt at it)")
 
 
 if __name__ == "__main__":

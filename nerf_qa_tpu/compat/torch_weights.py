@@ -64,6 +64,32 @@ def convert_vgg16_features(state_dict: Mapping[str, Any]):
     return params
 
 
+def extract_vgg16_from_dists(state_dict: Mapping[str, Any]):
+    """Pyramid params from a DISTS module EMBEDDED in a saved reference
+    model (NR model.pth: ``encoder.dists.stageK.{idx}.*``; FR model.pth:
+    ``dists_model.stageK.{idx}.*``; or a bare DISTS ``stageK.{idx}.*``).
+
+    DISTS_pt.py:31-49 preserves torchvision feature indices as the
+    stage submodule names, so stripping ``stageK.`` recovers the bare
+    ``{idx}.weight`` layout convert_vgg16_features accepts (L2pooling's
+    ``filter`` buffers are skipped). Returns None when no stage keys
+    are present under any known prefix."""
+    import re
+
+    pat = re.compile(r"stage[1-5]\.(\d+)\.(weight|bias)$")
+    for pre in ("encoder.dists.", "dists_model.", "dists.", ""):
+        sub = {}
+        for k, v in state_dict.items():
+            if not k.startswith(pre):
+                continue
+            m = pat.fullmatch(k[len(pre):])
+            if m:
+                sub[f"{m.group(1)}.{m.group(2)}"] = v
+        if sub:
+            return convert_vgg16_features(sub)
+    return None
+
+
 def load_vgg16_from_torch_file(path: str):
     """Load a torchvision VGG16 checkpoint file and convert it."""
     import torch

@@ -241,3 +241,76 @@ def test_converter_cli_roundtrip(tmp_path):
     assert all(jax.tree_util.tree_leaves(same))
     np.testing.assert_allclose(ckpt["dists_alpha_beta"]["alpha"],
                                np.asarray(sd["encoder.dists.alpha"]).reshape(-1))
+
+
+def _fake_dists_stages(rng, prefix):
+    """Embedded-DISTS VGG stage keys exactly as DISTS_pt.py:31-49 saves
+    them (torchvision feature indices preserved as submodule names)."""
+    from nerf_qa_tpu.compat.torch_weights import (
+        VGG16_STAGES,
+        _STAGE_CONV_INDICES,
+    )
+
+    sd = {}
+    for si, (spec, idxs) in enumerate(zip(VGG16_STAGES, _STAGE_CONV_INDICES)):
+        for (cin, cout), idx in zip(spec, idxs):
+            sd[f"{prefix}stage{si + 1}.{idx}.weight"] = _t(rng, cout, cin, 3, 3)
+            sd[f"{prefix}stage{si + 1}.{idx}.bias"] = _t(rng, cout)
+    # L2pooling hann buffers must be ignored by the extractor
+    sd[f"{prefix}stage2.4.filter"] = _t(rng, 64, 1, 3, 3)
+    return sd
+
+
+def test_embedded_vgg_extraction_and_cli_npz(tmp_path):
+    from nerf_qa_tpu.compat.torch_nr import main as convert_main
+    from nerf_qa_tpu.compat.torch_weights import (
+        extract_vgg16_from_dists,
+        load_vgg16_from_npz,
+    )
+
+    rng = np.random.default_rng(4)
+    sd = make_state_dict(rng)
+    sd.update(_fake_dists_stages(rng, "encoder.dists."))
+    vgg = extract_vgg16_from_dists(sd)
+    assert vgg is not None
+    assert vgg["stage1"][0]["kernel"].shape == (3, 3, 3, 64)
+    assert vgg["stage5"][2]["kernel"].shape == (3, 3, 512, 512)
+    np.testing.assert_allclose(
+        vgg["stage1"][0]["kernel"],
+        np.asarray(sd["encoder.dists.stage1.0.weight"]).transpose(2, 3, 1, 0),
+    )
+
+    pth = str(tmp_path / "model_state.pth")
+    torch.save(sd, pth)
+    out_dir = str(tmp_path / "ckpt")
+    convert_main([pth, out_dir])
+    import os
+
+    npz = os.path.join(out_dir, "vgg16.npz")
+    assert os.path.exists(npz)
+    again = load_vgg16_from_npz(npz)
+    np.testing.assert_allclose(again["stage3"][1]["bias"],
+                               vgg["stage3"][1]["bias"])
+
+
+def test_fr_model_full_import(tmp_path):
+    """convert_fr_model_from_torch: head + fine-tuned alpha/beta + the
+    embedded frozen VGG from one FR model.pth (model_stats.py layout)."""
+    from nerf_qa_tpu.compat.checkpoint import convert_fr_model_from_torch
+
+    rng = np.random.default_rng(5)
+    sd = {
+        "b1": _t(rng, 1), "b2": _t(rng, 1), "b3": _t(rng, 1),
+        "b4": _t(rng, 1),
+        "dists_model.alpha": _t(rng, 1, 1475, 1, 1),
+        "dists_model.beta": _t(rng, 1, 1475, 1, 1),
+    }
+    sd.update(_fake_dists_stages(rng, "dists_model."))
+    pth = str(tmp_path / "model.pth")
+    torch.save(sd, pth)
+    head, ab, vgg = convert_fr_model_from_torch(pth)
+    assert set(k for k in head if k.startswith("head.")) == {
+        "head.b1", "head.b2", "head.b3", "head.b4"}
+    assert ab is not None and ab["alpha"].shape == (1475,)
+    assert vgg is not None
+    assert vgg["stage4"][0]["kernel"].shape == (3, 3, 256, 512)
