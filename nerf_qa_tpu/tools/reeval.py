@@ -27,7 +27,10 @@ from nerf_qa_tpu.train.fr_train import FRTrainer
 
 
 def load_params(path: str, cfg: FRModelConfig):
-    """Checkpoint dir (orbax) or torch model.pth."""
+    """(params, embedded_vgg|None) from a checkpoint dir (orbax) or a
+    torch model.pth — the .pth also carries the frozen VGG stages
+    (dists_model.stageK.*, DISTS_pt.py:31-49), recovered here so the
+    re-evaluation runs the exact pyramid the model was trained with."""
     if path.endswith((".pth", ".pt")):
         flat = convert_fr_head_from_torch(path)
         import jax.numpy as jnp
@@ -39,12 +42,18 @@ def load_params(path: str, cfg: FRModelConfig):
             w = dists.DISTSWeights(
                 jnp.asarray(flat["dists.alpha"]), jnp.asarray(flat["dists.beta"])
             )
-        return {"head": head, "dists": w}
+        import torch
+
+        from nerf_qa_tpu.compat.torch_weights import extract_vgg16_from_dists
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        return {"head": head, "dists": w}, extract_vgg16_from_dists(sd)
     restored = restore_checkpoint(path)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {path}")
     _, state = restored
-    return state["params"]
+    return state["params"], None
 
 
 def main(argv=None):
@@ -65,9 +74,13 @@ def main(argv=None):
         subjective_score_type=args.subjective_score_type,
         dists=DISTSConfig(compute_dtype=args.compute_dtype),
     )
-    params = load_params(args.checkpoint, cfg)
+    params, embedded_vgg = load_params(args.checkpoint, cfg)
     scores_df = label_scene_types(pd.read_csv(args.scores_csv))
-    trainer = FRTrainer(resolve_vgg_params(args.vgg_ckpt, seed=0), cfg)
+    # an explicit --vgg-ckpt wins; otherwise prefer the pyramid embedded
+    # in the torch model itself
+    vgg = (resolve_vgg_params(args.vgg_ckpt, seed=0)
+           if args.vgg_ckpt or embedded_vgg is None else embedded_vgg)
+    trainer = FRTrainer(vgg, cfg)
     loader = create_test2_dataloader(scores_df, args.data_dir,
                                      batch_size=args.batch_size,
                                      scene_balanced=False)

@@ -82,6 +82,17 @@ class NRScorer:
             raise SystemExit(f"no checkpoint found in {args.nr_ckpt}")
         _, ckpt = restored
         self.params, self.state = ckpt["params"], ckpt.get("state") or {}
+        if "dists_alpha_beta" in ckpt:
+            # fine-tuned alpha/beta imported alongside the decoder
+            # (compat/torch_nr) — score with them, not the bundled ones
+            import jax.numpy as jnp
+
+            from nerf_qa_tpu.core.dists import DISTSWeights
+
+            ab = ckpt["dists_alpha_beta"]
+            model.dists_weights = DISTSWeights(
+                jnp.asarray(ab["alpha"]), jnp.asarray(ab["beta"])
+            )
         self._step = jax.jit(
             lambda p, s, a, b: model.forward(p, a, b, state=s)
         )

@@ -132,3 +132,51 @@ def test_shape_mismatch_errors(pair_dirs, tmp_path):
     ).save(other / "000.png")
     with pytest.raises(SystemExit):
         score_main(["--ref", ref_dir, "--dist", str(other), "--fp32"])
+
+
+def test_nr_scorer_uses_finetuned_alpha_beta(pair_dirs, tmp_path):
+    """A checkpoint carrying dists_alpha_beta (the torch importer's
+    output) changes the NR scores — the fine-tuned weights are applied,
+    not the bundled ones."""
+    import argparse
+
+    import jax  # noqa: F401
+
+    from nerf_qa_tpu.compat.checkpoint import save_checkpoint
+    from nerf_qa_tpu.config import DISTSConfig, NRModelConfig
+    from nerf_qa_tpu.core.vgg import init_vgg16_params
+    from nerf_qa_tpu.data.video import load_video_frames
+    from nerf_qa_tpu.models.nr.model import NRModel
+    from nerf_qa_tpu.models.nr.vit import ViTS14
+    from nerf_qa_tpu.tools.score import NRScorer
+
+    cfg = NRModelConfig(version=8, refine_up_depth=1,
+                        transformer_decoder_depth=0,
+                        dists=DISTSConfig(compute_dtype="float32"))
+    vgg = init_vgg16_params(seed=0)
+    model = NRModel(vgg, cfg=cfg, vit=ViTS14(depth=1))
+    params, state = model.init(seed=0)
+
+    base = {"params": params, "state": state}
+    rng = np.random.default_rng(6)
+    tuned = dict(base, dists_alpha_beta={
+        "alpha": rng.random(1475).astype(np.float32),
+        "beta": rng.random(1475).astype(np.float32),
+    })
+    d_plain, d_tuned = str(tmp_path / "a"), str(tmp_path / "b")
+    save_checkpoint(d_plain, 1, base)
+    save_checkpoint(d_tuned, 1, tuned)
+
+    def args_for(ckpt):
+        return argparse.Namespace(
+            nr_ckpt=ckpt, nr_version=8, refine_up_depth=1,
+            transformer_decoder_depth=0, vit_depth=1, fp32=True,
+            batch_size=3, vit_ckpt=None, jbu_ckpt=None,
+        )
+
+    _, dist_dir = pair_dirs
+    frames = load_video_frames(dist_dir, resize=False)
+    s_plain = NRScorer(args_for(d_plain), vgg).score_frames(frames)
+    s_tuned = NRScorer(args_for(d_tuned), vgg).score_frames(frames)
+    assert np.isfinite(s_plain).all() and np.isfinite(s_tuned).all()
+    assert np.abs(s_plain - s_tuned).max() > 1e-4
