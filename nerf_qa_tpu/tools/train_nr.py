@@ -225,6 +225,18 @@ def main(argv=None):
         params = ckpt["params"]
         state = ckpt.get("state") or state
         opt_state = trainer.optimizer.init(params)
+        if "dists_alpha_beta" in ckpt:
+            # fine-tuned metric weights imported alongside the decoder
+            # (compat/torch_nr): train against them, not the bundled ones
+            import jax.numpy as jnp
+
+            from nerf_qa_tpu.core.dists import DISTSWeights
+
+            ab = ckpt["dists_alpha_beta"]
+            model.dists_weights = DISTSWeights(
+                jnp.asarray(ab["alpha"]), jnp.asarray(ab["beta"])
+            )
+            print("using the checkpoint's fine-tuned DISTS alpha/beta")
         print(f"initialized decoder params from {args.init_from}")
     if args.resume:
         restored = restore_checkpoint(ckpt_dir)
