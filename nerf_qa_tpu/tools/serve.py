@@ -58,10 +58,18 @@ class ScoringService:
         self.want_dists = args.metric in ("dists", "both")
         self.want_adists = args.metric in ("adists", "both")
         mesh = None
-        if getattr(args, "data_parallel", False):
+        spatial = int(getattr(args, "spatial", 0) or 0)
+        if spatial or getattr(args, "data_parallel", False):
             from nerf_qa_tpu.parallel import mesh as meshlib
 
-            mesh = meshlib.create_mesh()
+            mesh = meshlib.create_mesh(model_parallel=max(spatial, 1))
+        if spatial:
+            if not args.full_size:
+                raise SystemExit("--spatial is the full-resolution mode; "
+                                 "pass --full-size")
+            if args.metric != "dists":
+                raise SystemExit("--spatial serves DISTS only "
+                                 "(--metric dists)")
         self.mesh = mesh
         # frames are resized on the host by _load_frames (tools/score
         # semantics); the device pipeline scores them as-is
@@ -69,7 +77,7 @@ class ScoringService:
             vgg_params, dists_weights,
             DISTSConfig(compute_dtype=dtype,
                         stats_impl="pallas" if dtype == "bfloat16" else "xla"),
-            resize_to=None, mesh=mesh,
+            resize_to=None, mesh=mesh, spatial=bool(spatial),
         ) if self.want_dists else None
         self.nr_scorer = None
         if getattr(args, "nr_ckpt", None):
@@ -265,6 +273,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard scoring batches over all visible devices")
+    p.add_argument("--spatial", type=int, default=0, metavar="N",
+                   help="additionally shard frame HEIGHT N-ways "
+                        "(parallel.spatial halo-exchange pyramid) — the "
+                        "full-resolution multi-chip scoring mode; "
+                        "requires --full-size --metric dists, and frame "
+                        "H divisible by 16*N, W by 16")
     # no-reference serving (requests without "ref"): a trained NR
     # checkpoint + the architecture flags it was trained with
     p.add_argument("--nr-ckpt", default=None,

@@ -164,3 +164,29 @@ def test_nr_request(pair_dirs, tmp_path):
     assert resp["frames"] == 3
     assert np.isfinite(resp["nr"])
     assert len(resp["nr_frames"]) == 3
+
+
+def test_spatial_full_res_matches_plain(pair_dirs):
+    """--spatial N shards frame height over the mesh's model axis and
+    reproduces the plain full-resolution scores (64x64 fixtures: H
+    divisible by 16*2)."""
+    ref_dir, dist_dir = pair_dirs
+    vgg = resolve_vgg_params(None, seed=0)
+    weights = resolve_dists_weights(DISTSConfig(), None)
+
+    plain_args = build_parser().parse_args(
+        ["--stdio", "--fp32", "--metric", "dists", "--batch-size", "4",
+         "--full-size"]
+    )
+    plain = ScoringService(plain_args, vgg, weights)
+    want = plain.handle({"id": 1, "dist": dist_dir, "ref": ref_dir})
+
+    sp_args = build_parser().parse_args(
+        ["--stdio", "--fp32", "--metric", "dists", "--batch-size", "4",
+         "--full-size", "--spatial", "2"]
+    )
+    sp = ScoringService(sp_args, vgg, weights)
+    got = sp.handle({"id": 1, "dist": dist_dir, "ref": ref_dir})
+    assert "error" not in got, got
+    np.testing.assert_allclose(got["dists_frames"], want["dists_frames"],
+                               atol=1e-5)
