@@ -88,13 +88,9 @@ class PreemptionSaver:
         return False
 
 
-def convert_fr_head_from_torch(path: str) -> dict[str, np.ndarray]:
-    """Import a reference FR ``model.pth`` head (model_stats.py:45-60
-    parameters b1..b4 / dists_weight+dists_bias, plus dists alpha/beta)."""
-    import torch
-
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    state = obj.state_dict() if hasattr(obj, "state_dict") else obj
+def _fr_head_from_state(state) -> dict[str, np.ndarray]:
+    """model_stats.py:45-60 head parameters (b1..b4 / dists_weight+bias)
+    plus fine-tuned dists alpha/beta from an FR state dict."""
     out: dict[str, np.ndarray] = {}
     for torch_key, ours in [
         ("b1", "b1"), ("b2", "b2"), ("b3", "b3"), ("b4", "b4"),
@@ -108,6 +104,16 @@ def convert_fr_head_from_torch(path: str) -> dict[str, np.ndarray]:
                 state[key].detach().numpy().reshape(-1)
             )
     return out
+
+
+def convert_fr_head_from_torch(path: str) -> dict[str, np.ndarray]:
+    """Import a reference FR ``model.pth`` head (see _fr_head_from_state)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    return _fr_head_from_state(
+        obj.state_dict() if hasattr(obj, "state_dict") else obj
+    )
 
 
 def convert_fr_model_from_torch(path: str):
@@ -125,5 +131,5 @@ def convert_fr_model_from_torch(path: str):
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-    head = convert_fr_head_from_torch(path)
-    return head, extract_dists_alpha_beta(sd), extract_vgg16_from_dists(sd)
+    return (_fr_head_from_state(sd), extract_dists_alpha_beta(sd),
+            extract_vgg16_from_dists(sd))

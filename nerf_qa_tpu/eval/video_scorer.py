@@ -48,6 +48,25 @@ def _prep(frames: jax.Array, out_hw: tuple[int, int] | None, antialias: bool,
     return x * scale if scale != 1.0 else x
 
 
+def batched_map(fn, arrays, batch_size: int) -> np.ndarray:
+    """Run ``fn(*slices) -> (batch_size,)`` over equal-length arrays in
+    fixed-shape batches, padding the tail by repeating the last row (so
+    one compiled shape serves any N) and unpadding the result. The
+    single home of the pad-tail loop (FrameScorer / ADISTS serving /
+    NRScorer all route through it)."""
+    n = arrays[0].shape[0]
+    out = np.empty((n,), np.float32)
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        sl = [a[lo:hi] for a in arrays]
+        if hi - lo < batch_size:
+            pad = batch_size - (hi - lo)
+            sl = [np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                  for a in sl]
+        out[lo:hi] = np.asarray(fn(*sl))[: hi - lo]
+    return out
+
+
 class FrameScorer:
     """Jitted, shape-bucketed DISTS frame scorer.
 
@@ -153,24 +172,14 @@ class FrameScorer:
         batch_size: int = 32,
     ) -> np.ndarray:
         """Score N frame pairs, padding the tail batch (masked out)."""
-        n = dist_frames.shape[0]
-        if ref_frames.shape[0] != n:
+        if ref_frames.shape[0] != dist_frames.shape[0]:
             raise ValueError("frame count mismatch")
         step = batch_size
         if self.mesh is not None:
             per = self.mesh.shape[meshlib.DATA_AXIS]
             step = meshlib.pad_to_multiple(batch_size, per)
-        out = np.empty((n,), np.float32)
-        for lo in range(0, n, step):
-            hi = min(lo + step, n)
-            db, rb = dist_frames[lo:hi], ref_frames[lo:hi]
-            if hi - lo < step:  # pad tail to keep the compiled shape
-                pad = step - (hi - lo)
-                db = np.concatenate([db, np.repeat(db[-1:], pad, 0)])
-                rb = np.concatenate([rb, np.repeat(rb[-1:], pad, 0)])
-            scores = np.asarray(self.score_batch(db, rb))
-            out[lo:hi] = scores[: hi - lo]
-        return out
+        return batched_map(self.score_batch, (dist_frames, ref_frames),
+                           step)
 
     def score_video(self, dist_frames, ref_frames, batch_size: int = 32) -> float:
         """Video-level score = mean of per-frame scores

@@ -193,11 +193,17 @@ def apply_scene_type(
     scene_types: jax.Array | None,
 ) -> jax.Array:
     """Per-scene-type affine calibration of head output; (N,) int ids
-    gather the type's (scale, bias). None falls back to the plain head."""
+    gather the type's (scale, bias). None falls back to the plain head,
+    and so does any NEGATIVE id (the trainer's jitted steps can't carry
+    None, so -1 is the "no conditioning" sentinel — without it, a
+    scene-conditioned checkpoint evaluated without ids would silently
+    get the trained type-0 affine applied to every sample)."""
     if scene_types is None or "scene_scale" not in head:
         return pred
     st = scene_types.astype(jnp.int32)
-    return pred * head["scene_scale"][st] + head["scene_bias"][st]
+    idx = jnp.maximum(st, 0)
+    calibrated = pred * head["scene_scale"][idx] + head["scene_bias"][idx]
+    return jnp.where(st >= 0, calibrated, pred)
 
 
 def param_labels(params: dict[str, Any]) -> dict[str, Any]:

@@ -13,10 +13,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from nerf_qa_tpu.compat.checkpoint import (
-    convert_fr_head_from_torch,
-    restore_checkpoint,
-)
+from nerf_qa_tpu.compat.checkpoint import restore_checkpoint
 from nerf_qa_tpu.compat.pretrained import add_backbone_args, resolve_vgg_params
 from nerf_qa_tpu.config import DISTSConfig, FRModelConfig
 from nerf_qa_tpu.core import dists
@@ -29,26 +26,21 @@ from nerf_qa_tpu.train.fr_train import FRTrainer
 def load_params(path: str, cfg: FRModelConfig):
     """(params, embedded_vgg|None) from a checkpoint dir (orbax) or a
     torch model.pth — the .pth also carries the frozen VGG stages
-    (dists_model.stageK.*, DISTS_pt.py:31-49), recovered here so the
+    (dists_model.stageK.*, DISTS_pt.py:31-49), recovered so the
     re-evaluation runs the exact pyramid the model was trained with."""
     if path.endswith((".pth", ".pt")):
-        flat = convert_fr_head_from_torch(path)
+        from nerf_qa_tpu.compat.checkpoint import convert_fr_model_from_torch
+
         import jax.numpy as jnp
 
+        flat, ab, vgg = convert_fr_model_from_torch(path)
         head = {k.split(".")[1]: jnp.asarray(v) for k, v in flat.items()
                 if k.startswith("head.")}
         w = dists.load_pretrained_weights(cfg.dists)
-        if "dists.alpha" in flat:
-            w = dists.DISTSWeights(
-                jnp.asarray(flat["dists.alpha"]), jnp.asarray(flat["dists.beta"])
-            )
-        import torch
-
-        from nerf_qa_tpu.compat.torch_weights import extract_vgg16_from_dists
-
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-        return {"head": head, "dists": w}, extract_vgg16_from_dists(sd)
+        if ab is not None:
+            w = dists.DISTSWeights(jnp.asarray(ab["alpha"]),
+                                   jnp.asarray(ab["beta"]))
+        return {"head": head, "dists": w}, vgg
     restored = restore_checkpoint(path)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {path}")

@@ -101,22 +101,15 @@ class NRScorer:
     def score_frames(self, frames: np.ndarray) -> np.ndarray:
         """Per-frame NR scores for full-size float frames (N,H,W,3)."""
         from nerf_qa_tpu.data.imaging import resize_image
+        from nerf_qa_tpu.eval.video_scorer import batched_map
 
         r256 = np.stack([resize_image(f, 256, 256) for f in frames])
         r224 = np.stack([resize_image(f, 224, 224) for f in frames])
-        n = r256.shape[0]
-        bs = min(self.batch_size, n)
-        out = np.empty((n,), np.float32)
-        for lo in range(0, n, bs):
-            hi = min(lo + bs, n)
-            a, b = r256[lo:hi], r224[lo:hi]
-            if hi - lo < bs:
-                pad = bs - (hi - lo)
-                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
-                b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
-            scores = np.asarray(self._step(self.params, self.state, a, b))
-            out[lo:hi] = scores[: hi - lo]
-        return out
+        bs = min(self.batch_size, len(frames))
+        return batched_map(
+            lambda a, b: self._step(self.params, self.state, a, b),
+            (r256, r224), bs,
+        )
 
 
 def _score_nr(args, vgg) -> int:

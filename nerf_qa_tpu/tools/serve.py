@@ -108,30 +108,28 @@ class ScoringService:
 
     # -- device work -----------------------------------------------------
     def warmup(self, hw: tuple[int, int] = (64, 64)) -> None:
-        """Trigger compilation before serving traffic."""
+        """Compile every serving path before taking traffic, then reset
+        the /healthz counters (warmup compile time is not traffic)."""
         d = np.zeros((self.batch_size, *hw, 3), np.float32)
         self._score_arrays(d, d)
+        if self.nr_scorer is not None:
+            # NR shapes are input-size-independent (host resize to
+            # 256/224), so one zero batch compiles the whole path
+            self.nr_scorer.score_frames(
+                np.zeros((self.batch_size, 64, 64, 3), np.float32))
+        self.n_requests = 0
+        self.n_frames = 0
+        self.device_s = 0.0
 
     def _adists_frames(self, dist: np.ndarray, ref: np.ndarray) -> np.ndarray:
-        import jax
+        from nerf_qa_tpu.eval.video_scorer import batched_map
 
-        n, bs = dist.shape[0], self.batch_size
-        out = np.empty((n,), np.float32)
-        for lo in range(0, n, bs):
-            hi = min(lo + bs, n)
-            db, rb = dist[lo:hi], ref[lo:hi]
-            if hi - lo < bs:
-                pad = bs - (hi - lo)
-                db = np.concatenate([db, np.repeat(db[-1:], pad, 0)])
-                rb = np.concatenate([rb, np.repeat(rb[-1:], pad, 0)])
-            s = np.asarray(jax.block_until_ready(self._adists_step(db, rb)))
-            out[lo:hi] = s[: hi - lo]
-        return out
+        return batched_map(self._adists_step, (dist, ref), self.batch_size)
 
     def _score_arrays(self, dist: np.ndarray, ref: np.ndarray) -> dict:
-        t0 = time.perf_counter()
         out: dict = {"frames": int(dist.shape[0])}
         with self._lock:
+            t0 = time.perf_counter()
             if self.scorer is not None:
                 s = self.scorer.score_frames(dist, ref, self.batch_size)
                 out["dists"] = float(s.mean())
@@ -146,9 +144,13 @@ class ScoringService:
         return out
 
     # -- request handling ------------------------------------------------
-    def handle(self, req: dict) -> dict:
+    def handle(self, req) -> dict:
         from nerf_qa_tpu.tools.score import _load_frames
 
+        if not isinstance(req, dict):
+            return {"id": None,
+                    "error": f"request must be a JSON object, got "
+                             f"{type(req).__name__}"}
         rid = req.get("id")
         try:
             if "ref" not in req:
@@ -159,8 +161,8 @@ class ScoringService:
                     )
                 frames = _load_frames(str(req["dist"]), resize=False,
                                       keep_aspect=False)
-                t0 = time.perf_counter()
                 with self._lock:
+                    t0 = time.perf_counter()
                     s = self.nr_scorer.score_frames(frames)
                     self.device_s += time.perf_counter() - t0
                     self.n_frames += len(s)

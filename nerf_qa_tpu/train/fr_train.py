@@ -184,7 +184,7 @@ class FRTrainer:
     def _scene_types_or_zeros(self, scene_types, n: int):
         if scene_types is not None:
             return jnp.asarray(scene_types, jnp.int32)
-        return jnp.zeros((n,), jnp.int32)
+        return jnp.full((n,), -1, jnp.int32)  # -1 = no conditioning
 
     # -- public API -------------------------------------------------------
     def init(self, train_dists_scores, train_targets):

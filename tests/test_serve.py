@@ -190,3 +190,14 @@ def test_spatial_full_res_matches_plain(pair_dirs):
     assert "error" not in got, got
     np.testing.assert_allclose(got["dists_frames"], want["dists_frames"],
                                atol=1e-5)
+
+
+def test_non_object_requests_do_not_kill_the_service(service):
+    """Valid JSON that is not an object must produce an error response,
+    not an exception (stdio loop and HTTP both route through handle)."""
+    out = io.StringIO()
+    lines = ["42", '"hello"', "[1, 2]", "null"]
+    assert serve_stdio(service, lines=lines, out=out) == 0
+    resp = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(resp) == 4
+    assert all("error" in r for r in resp)
