@@ -105,7 +105,7 @@ class NRScorer:
 
         r256 = np.stack([resize_image(f, 256, 256) for f in frames])
         r224 = np.stack([resize_image(f, 224, 224) for f in frames])
-        bs = min(self.batch_size, len(frames))
+        bs = max(1, min(self.batch_size, len(frames)))
         return batched_map(
             lambda a, b: self._step(self.params, self.state, a, b),
             (r256, r224), bs,
