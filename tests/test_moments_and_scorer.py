@@ -97,3 +97,30 @@ def test_frame_scorer_data_parallel_matches_single(scorer_setup):
     s1 = single.score_frames(d, r, batch_size=16)
     s8 = sharded.score_frames(d, r, batch_size=16)
     np.testing.assert_allclose(s8, s1, atol=1e-5)
+
+
+def test_batched_map_padding_and_edges():
+    """The shared pad-tail batching helper: exact-multiple, ragged tail,
+    and empty inputs; the padded tail rows never leak into the output."""
+    from nerf_qa_tpu.eval.video_scorer import batched_map
+
+    calls = []
+
+    def fn(a, b):
+        calls.append(a.shape[0])
+        assert a.shape[0] == 4  # always the compiled batch shape
+        return a.sum(axis=(1, 2)) + b.sum(axis=(1, 2))
+
+    rng = np.random.default_rng(0)
+    a = rng.random((10, 3, 2)).astype(np.float32)
+    b = rng.random((10, 3, 2)).astype(np.float32)
+    got = batched_map(fn, (a, b), 4)
+    want = a.sum(axis=(1, 2)) + b.sum(axis=(1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert calls == [4, 4, 4]  # 10 -> 4+4+2(padded)
+
+    got8 = batched_map(fn, (a[:8], b[:8]), 4)
+    np.testing.assert_allclose(got8, want[:8], rtol=1e-6)
+
+    empty = batched_map(fn, (a[:0], b[:0]), 4)
+    assert empty.shape == (0,)
