@@ -105,10 +105,13 @@ class NRScorer:
 
         r256 = np.stack([resize_image(f, 256, 256) for f in frames])
         r224 = np.stack([resize_image(f, 224, 224) for f in frames])
-        bs = max(1, min(self.batch_size, len(frames)))
+        # Always run the full compiled batch shape (batched_map pads the
+        # ragged tail by repeating the last row): clamping to len(frames)
+        # would trigger a fresh XLA compile per distinct request size in
+        # the serve daemon, stalling the device lock for tens of seconds.
         return batched_map(
             lambda a, b: self._step(self.params, self.state, a, b),
-            (r256, r224), bs,
+            (r256, r224), self.batch_size,
         )
 
 

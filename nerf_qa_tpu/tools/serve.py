@@ -26,8 +26,13 @@ Response:        {"id", "frames": N, "dists": mean, "dists_frames": [...]}
   {"id", "frames", "nr", "nr_frames"} for no-reference requests, or
   {"id", "error": msg} for malformed requests (the service stays up).
 
---data-parallel shards request batches over ALL visible devices (a
-jax.sharding data mesh; gradients-free scoring scales linearly over ICI).
+--data-parallel shards DISTS and ADISTS request batches over ALL visible
+devices (a jax.sharding data mesh; gradient-free scoring scales linearly
+over ICI). No-reference (NR) requests run on the default device — NR
+serving throughput scales by batch size, not device count (PARITY.md).
+--spatial N additionally shards frame HEIGHT N-ways for full-resolution
+scoring — both DISTS and ADISTS (parallel/spatial.py halo-exchange
+pyramid; ADISTS resharding to channel-sharded windowed statistics).
 
 Example:
   python -m nerf_qa_tpu.tools.serve --stdio --metric dists <<'EOF'
@@ -67,10 +72,8 @@ class ScoringService:
             if not args.full_size:
                 raise SystemExit("--spatial is the full-resolution mode; "
                                  "pass --full-size")
-            if args.metric != "dists":
-                raise SystemExit("--spatial serves DISTS only "
-                                 "(--metric dists)")
         self.mesh = mesh
+        self.spatial = spatial
         # frames are resized on the host by _load_frames (tools/score
         # semantics); the device pipeline scores them as-is
         self.scorer = FrameScorer(
@@ -85,6 +88,7 @@ class ScoringService:
 
             self.nr_scorer = NRScorer(args, vgg_params)
         self._adists_step = None
+        self._adists_bs = self.batch_size
         if self.want_adists:
             import jax
 
@@ -93,13 +97,70 @@ class ScoringService:
 
             acfg = ADISTSConfig(compute_dtype=dtype)
 
-            @jax.jit
-            def astep(d, r):
-                x = _prep(d, None, False, dtype == "bfloat16")
-                y = _prep(r, None, False, dtype == "bfloat16")
-                return adists.forward(vgg_params, x, y, acfg, as_loss=False)
+            if spatial:
+                # full-resolution ADISTS, H sharded over the mesh's model
+                # axis (ADISTS.py:188-197 as_loss=False semantics at
+                # multi-chip scale; numerics validated against the
+                # single-chip path in tests/test_spatial_sharding.py)
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            self._adists_step = astep
+                from nerf_qa_tpu.parallel import mesh as meshlib
+                from nerf_qa_tpu.parallel.spatial import (
+                    spatial_adists_forward,
+                )
+
+                vgg_rep = meshlib.replicate(mesh, vgg_params)
+
+                def astep_sp(vp, d, r):
+                    x = _prep(d, None, False)
+                    y = _prep(r, None, False)
+                    return spatial_adists_forward(vp, x, y, mesh, acfg,
+                                                  as_loss=False)
+
+                fsh = NamedSharding(
+                    mesh, P(meshlib.DATA_AXIS, meshlib.MODEL_AXIS)
+                )
+                jitted = jax.jit(
+                    astep_sp,
+                    in_shardings=(meshlib.replicated(mesh), fsh, fsh),
+                    out_shardings=meshlib.data_sharding(mesh),
+                    donate_argnums=(1, 2),
+                )
+                self._adists_step = lambda d, r: jitted(vgg_rep, d, r)
+                self._adists_bs = meshlib.pad_to_multiple(
+                    self.batch_size, mesh.shape[meshlib.DATA_AXIS]
+                )
+            elif mesh is not None:
+                # --data-parallel: shard ADISTS batches over the data axis
+                # like the DISTS FrameScorer path
+                from nerf_qa_tpu.parallel import mesh as meshlib
+
+                vgg_rep = meshlib.replicate(mesh, vgg_params)
+
+                def astep_dp(vp, d, r):
+                    x = _prep(d, None, False, dtype == "bfloat16")
+                    y = _prep(r, None, False, dtype == "bfloat16")
+                    return adists.forward(vp, x, y, acfg, as_loss=False)
+
+                dsh = meshlib.data_sharding(mesh)
+                jitted = jax.jit(
+                    astep_dp,
+                    in_shardings=(meshlib.replicated(mesh), dsh, dsh),
+                    out_shardings=dsh,
+                )
+                self._adists_step = lambda d, r: jitted(vgg_rep, d, r)
+                self._adists_bs = meshlib.pad_to_multiple(
+                    self.batch_size, mesh.shape[meshlib.DATA_AXIS]
+                )
+            else:
+                @jax.jit
+                def astep(d, r):
+                    x = _prep(d, None, False, dtype == "bfloat16")
+                    y = _prep(r, None, False, dtype == "bfloat16")
+                    return adists.forward(vgg_params, x, y, acfg,
+                                          as_loss=False)
+
+                self._adists_step = astep
         self._lock = threading.Lock()  # one device, one queue
         self.n_requests = 0
         self.n_frames = 0
@@ -124,7 +185,7 @@ class ScoringService:
     def _adists_frames(self, dist: np.ndarray, ref: np.ndarray) -> np.ndarray:
         from nerf_qa_tpu.eval.video_scorer import batched_map
 
-        return batched_map(self._adists_step, (dist, ref), self.batch_size)
+        return batched_map(self._adists_step, (dist, ref), self._adists_bs)
 
     def _score_arrays(self, dist: np.ndarray, ref: np.ndarray) -> dict:
         out: dict = {"frames": int(dist.shape[0])}
@@ -274,13 +335,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-aspect", action="store_true")
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
-                   help="shard scoring batches over all visible devices")
+                   help="shard DISTS/ADISTS scoring batches over all "
+                        "visible devices (NR requests stay single-device)")
     p.add_argument("--spatial", type=int, default=0, metavar="N",
                    help="additionally shard frame HEIGHT N-ways "
                         "(parallel.spatial halo-exchange pyramid) — the "
-                        "full-resolution multi-chip scoring mode; "
-                        "requires --full-size --metric dists, and frame "
-                        "H divisible by 16*N, W by 16")
+                        "full-resolution multi-chip scoring mode for "
+                        "DISTS and ADISTS; requires --full-size, and "
+                        "frame H divisible by 16*N, W by 16")
     # no-reference serving (requests without "ref"): a trained NR
     # checkpoint + the architecture flags it was trained with
     p.add_argument("--nr-ckpt", default=None,
