@@ -22,12 +22,24 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+# Model-geometry format version, stamped into every checkpoint dir.
+# Bump when layer numerics change such that old params load but score
+# wrong: v2 = the torch-exact alignment (ConvTranspose padding
+# ((1,2),(1,2)), exact-erf GELU, LayerNorm eps) — a v1-geometry
+# checkpoint restored into v2 layers would be silently miscalibrated,
+# so restore fails loudly on a mismatched stamp instead.
+CHECKPOINT_FORMAT = 2
+
+
 def save_checkpoint(ckpt_dir: str, step: int, state: Any) -> str:
     """Save a pytree training state under ckpt_dir/step_<N>."""
-    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    path = os.path.join(ckpt_dir, f"step_{step:08d}")
     _checkpointer().save(
         path, jax.tree_util.tree_map(np.asarray, state), force=True
     )
+    with open(os.path.join(ckpt_dir, "FORMAT"), "w") as f:
+        f.write(f"{CHECKPOINT_FORMAT}\n")
     return path
 
 
@@ -45,10 +57,22 @@ def latest_step(ckpt_dir: str) -> int | None:
 def restore_checkpoint(ckpt_dir: str, step: int | None = None,
                        target: Any = None) -> tuple[int, Any] | None:
     """Restore (step, state); latest step when unspecified. None if no
-    checkpoint exists (fresh start)."""
+    checkpoint exists (fresh start). Raises on a FORMAT stamp older than
+    the current model geometry (see CHECKPOINT_FORMAT) — an unstamped dir
+    is accepted as current (all stamped writers postdate the alignment)."""
     step = step if step is not None else latest_step(ckpt_dir)
     if step is None:
         return None
+    fmt_path = os.path.join(os.path.abspath(ckpt_dir), "FORMAT")
+    if os.path.exists(fmt_path):
+        with open(fmt_path) as f:
+            fmt = int(f.read().strip() or 0)
+        if fmt != CHECKPOINT_FORMAT:
+            raise ValueError(
+                f"{ckpt_dir}: checkpoint format {fmt} != current "
+                f"{CHECKPOINT_FORMAT} (layer geometry changed; re-train or "
+                f"re-import via compat/torch_nr)"
+            )
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     state = _checkpointer().restore(path, item=target)
     return step, state

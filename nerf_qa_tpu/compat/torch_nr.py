@@ -107,7 +107,8 @@ def _block(sd: Mapping[str, Any], prefix: str) -> dict:
     }
 
 
-def convert_nr_decoder(state_dict: Mapping[str, Any]) -> dict:
+def convert_nr_decoder(state_dict: Mapping[str, Any],
+                       upsample_stages: int | None = None) -> dict:
     """Reference NR v7/v8 state_dict -> NRDecoder param pytree.
 
     Handles the ChannelNorm generations (the only ones the reference ever
@@ -117,7 +118,16 @@ def convert_nr_decoder(state_dict: Mapping[str, Any]) -> dict:
     layers from the ConvTranspose weight layout (a transposed conv's
     ``upsample_layer.conv.weight`` has shape (in, out, 3, 3) with
     in != out channel counts taken from the surrounding block; plain
-    tail ConvLayers appear at the non-upsampling last two stages)."""
+    tail ConvLayers appear at the non-upsampling last two stages).
+
+    ``upsample_stages``: number of leading stages whose tail layer is a
+    ConvTranspose, for checkpoints trained with a modified stage count.
+    Default None = the reference's num_upscales+2 construction
+    (model_nr_v8.py:198: all but the last two stages upsample); a square
+    tail kernel is then disambiguated by position with a warning, since
+    a non-reference schedule would be silently misconverted."""
+    import warnings
+
     sd = state_dict
     params: dict[str, Any] = {}
 
@@ -152,9 +162,21 @@ def convert_nr_decoder(state_dict: Mapping[str, Any]) -> dict:
         elif w.shape[1] == block_out and w.shape[0] != w.shape[1]:
             stage[f"ConvLayer_{depth}"] = _conv(sd, up)
         else:
-            # square layer: disambiguate by position (the reference only
-            # stops upsampling on the last two stages, model_nr_v8.py:198)
-            if i < n_refine - 2:
+            # square layer: shape can't tell Conv2d (out,in,kh,kw) from
+            # ConvTranspose2d (in,out,kh,kw) — decide by stage schedule
+            is_up = (i < upsample_stages if upsample_stages is not None
+                     else i < n_refine - 2)
+            if upsample_stages is None:
+                warnings.warn(
+                    f"decoder.{i}.upsample_layer has a square kernel; "
+                    f"assuming the reference schedule "
+                    f"({'ConvTranspose' if is_up else 'Conv'} at stage {i} "
+                    f"of {n_refine}, model_nr_v8.py:198). Pass "
+                    f"upsample_stages= if this checkpoint uses a modified "
+                    f"stage count.",
+                    stacklevel=2,
+                )
+            if is_up:
                 stage["ConvTransposeLayer_0"] = _conv_transpose(sd, up)
             else:
                 stage[f"ConvLayer_{depth}"] = _conv(sd, up)

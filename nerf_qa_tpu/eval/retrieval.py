@@ -16,6 +16,14 @@ capability is rebuilt here TPU-native:
   certainty map, the reference is warped onto the render and DISTS
   statistics are computed with certainty weighting — masked moments, so
   unmatched regions don't perturb means/variances.
+* Dense correspondence: ``estimate_warp`` is a native coarse matcher so
+  the pipeline runs END-TO-END without RoMa (whose import is what killed
+  the reference module): normalized VGG stage features correlate
+  all-pairs on the MXU, a temperature-softmax soft-argmax turns each
+  query position's correlation row into source coordinates, and the
+  correlation peak value becomes the certainty map. ``pseudo_fr_score``
+  chains estimate -> warp -> certainty-masked DISTS (the full
+  image_retrieval.py:144-219 behavior, alive).
 """
 from __future__ import annotations
 
@@ -88,6 +96,106 @@ def warp_image(image: jax.Array, grid: jax.Array) -> jax.Array:
         + gather(y0, x1) * (1 - ty) * tx
         + gather(y1, x1) * ty * tx
     )
+
+
+def estimate_warp(
+    vgg_params,
+    render: jax.Array,
+    reference: jax.Array,
+    stage: int = 3,
+    temperature: float = 0.01,
+    compute_dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Coarse dense correspondence render -> reference.
+
+    All-pairs cosine correlation of spatially mean-centered,
+    L2-normalized VGG ``stage`` features (stride 2^(stage-1)) as ONE
+    (Hq·Wq, Hs·Ws) MXU matmul per image, then a temperature-softmax
+    soft-argmax over source positions. Mean-centering is load-bearing:
+    VGG activations share a large common (DC) component across positions,
+    so raw cosine similarities saturate near 1 and the softmax blurs the
+    grid; centering restores discriminative peaks (same reason
+    normalized cross-correlation subtracts the local mean). Returns
+    (grid, certainty): grid (N,H,W,2) holds source (y, x) PIXEL coords
+    into ``reference`` for every render pixel (bilinearly upsampled from
+    the feature grid, ready for ``warp_image``); certainty (N,H,W) is the
+    per-position peak correlation in [~0, 1] (cosine of best match) —
+    feed it to ``masked_dists_score``.
+
+    This replaces the reference's RoMa dense-warp dependency
+    (image_retrieval.py:94-96, dead import) with a self-contained
+    feature-flow matcher; RoMa-grade sub-pixel accuracy is not the goal —
+    certainty-masked statistics absorb coarse-match noise.
+    """
+    n, h, w, _ = render.shape
+    stride = 2 ** max(stage - 1, 0)
+    both = vgg16_pyramid(
+        vgg_params, jnp.concatenate([render, reference]),
+        compute_dtype=compute_dtype,
+    )
+    fq = both[stage][:n].astype(jnp.float32)
+    fs = both[stage][n:].astype(jnp.float32)
+    hq, wq, c = fq.shape[1], fq.shape[2], fq.shape[3]
+    hs, ws = fs.shape[1], fs.shape[2]
+
+    def norm(f):
+        f = f - f.mean(axis=(1, 2), keepdims=True)
+        return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+
+    q = norm(fq).reshape(n, hq * wq, c)
+    s = norm(fs).reshape(n, hs * ws, c)
+    corr = jnp.einsum("nqc,nsc->nqs", q, s)  # cosine in [-1, 1]
+
+    # hard argmax + LOCAL 3x3 soft-argmax refinement: a global softmax
+    # lets the long tail of distant low-probability cells bias the
+    # expectation by O(1) feature cells; restricting the expectation to
+    # the peak's neighborhood keeps sub-cell precision without the bias.
+    am = jnp.argmax(corr, axis=-1)  # (N, Q) flat source index
+    am_y = (am // ws).astype(jnp.int32)
+    am_x = (am % ws).astype(jnp.int32)
+    offs = jnp.asarray([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                       jnp.int32)  # (9, 2)
+    ny = jnp.clip(am_y[..., None] + offs[:, 0], 0, hs - 1)  # (N, Q, 9)
+    nx = jnp.clip(am_x[..., None] + offs[:, 1], 0, ws - 1)
+    nidx = ny * ws + nx
+    local = jnp.take_along_axis(corr, nidx, axis=-1)  # (N, Q, 9)
+    p = jax.nn.softmax(local / temperature, axis=-1)
+    ref_y = (p * ny).sum(-1)
+    ref_x = (p * nx).sum(-1)
+    grid_feat = jnp.stack([ref_y, ref_x], axis=-1).reshape(n, hq, wq, 2)
+    cert_feat = corr.max(axis=-1).reshape(n, hq, wq)
+
+    # feature-grid coords -> full-res pixel coords (cell centers)
+    grid_feat = (grid_feat + 0.5) * stride - 0.5
+    grid = jax.image.resize(grid_feat, (n, h, w, 2), "linear")
+    certainty = jnp.clip(
+        jax.image.resize(cert_feat, (n, h, w), "linear"), 0.0, 1.0
+    )
+    return grid, certainty
+
+
+def pseudo_fr_score(
+    vgg_params,
+    weights: dists.DISTSWeights,
+    render: jax.Array,
+    reference: jax.Array,
+    cfg: DISTSConfig = DISTSConfig(),
+    stage: int = 3,
+    certainty_threshold: float = 0.0,
+) -> jax.Array:
+    """End-to-end pseudo-FR scoring of a render against a RETRIEVED (not
+    pixel-aligned) reference: estimate_warp -> warp_image ->
+    certainty-masked DISTS (image_retrieval.py:144-219, rebuilt alive).
+    ``certainty_threshold`` optionally hard-gates low-confidence pixels
+    to zero weight."""
+    grid, certainty = estimate_warp(vgg_params, render, reference,
+                                    stage=stage)
+    warped = warp_image(reference, grid)
+    if certainty_threshold > 0.0:
+        certainty = jnp.where(certainty >= certainty_threshold,
+                              certainty, 0.0)
+    return masked_dists_score(vgg_params, weights, render, warped,
+                              certainty, cfg)
 
 
 def masked_stage_stats(fx: jax.Array, fy: jax.Array,

@@ -45,6 +45,29 @@ def wandb_sink():
     return lambda logs, step: wandb.log(dict(logs), step=step)
 
 
+def log_artifact(path: str, name: str | None = None,
+                 type: str = "results") -> bool:
+    """wandb.Artifact upload shim (run_final.py:279-287,328-336 pushes
+    results CSVs and model files as Artifacts). Uploads when wandb is
+    importable AND a run is active; otherwise a no-op — the files
+    already live in the local run dir. Returns True when uploaded."""
+    try:
+        import wandb
+    except ImportError:
+        return False
+    if getattr(wandb, "run", None) is None:
+        return False
+    artifact = wandb.Artifact(
+        name or os.path.basename(path).replace(".", "-"), type=type
+    )
+    if os.path.isdir(path):
+        artifact.add_dir(path)
+    else:
+        artifact.add_file(path)
+    wandb.run.log_artifact(artifact)
+    return True
+
+
 class MetricCollectionLogger:
     """Drop-in equivalent of the reference logger (logger.py:62)."""
 

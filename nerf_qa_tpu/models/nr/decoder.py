@@ -176,9 +176,20 @@ class RefineUpLegacy(nn.Module):
         if self.upsample:
             # raw transposed conv (reference uses bare nn.ConvTranspose2d
             # k3 s2 p1 outp1, model_nr.py:59-61 / model_nr_v6.py:62);
-            # padding ((1,2),(1,2)) is torch's exact output alignment
-            h = nn.ConvTranspose(self.output_chns, (3, 3), strides=(2, 2),
-                                 padding=((1, 2), (1, 2)))(h)
+            # padding ((1,2),(1,2)) is torch's exact output alignment.
+            # Sub-pixel compute path by default (layers.py note).
+            from nerf_qa_tpu.models.nr.layers import (
+                SubpixelConvTranspose,
+                _subpixel_ct_enabled,
+            )
+
+            if _subpixel_ct_enabled():
+                h = SubpixelConvTranspose(self.output_chns,
+                                          name="ConvTranspose_0")(h)
+            else:
+                h = nn.ConvTranspose(self.output_chns, (3, 3),
+                                     strides=(2, 2),
+                                     padding=((1, 2), (1, 2)))(h)
         elif self.always_resample:
             h = ConvLayer(self.output_chns, activation=False,
                           dropout_rate=self.dropout_rate,

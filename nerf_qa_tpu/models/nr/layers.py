@@ -17,6 +17,37 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nerf_qa_tpu.ops.pallas.channelnorm import channel_norm_act
+from nerf_qa_tpu.ops.subpixel import conv_transpose_2x_subpixel
+
+
+def _subpixel_ct_enabled() -> bool:
+    """Default-on sub-pixel formulation of the 2x transposed convs
+    (ops/subpixel.py): algebraically exact, 2.25x fewer MACs than the
+    input-dilated lowering, one dense MXU GEMM + pixel shuffle.
+    NERF_QA_TPU_SUBPIXEL_CT=0 restores the nn.ConvTranspose lowering."""
+    return os.environ.get("NERF_QA_TPU_SUBPIXEL_CT", "1") != "0"
+
+
+class SubpixelConvTranspose(nn.Module):
+    """Param-tree-compatible stand-in for nn.ConvTranspose((3,3), s=2,
+    padding=((1,2),(1,2))): same 'kernel'/'bias' params (same init), same
+    outputs to float rounding, sub-pixel compute path. Instantiate with
+    name='ConvTranspose_0' so checkpoints are interchangeable."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        return conv_transpose_2x_subpixel(
+            x, kernel.astype(self.dtype), bias
+        )
 
 
 def _fused_cn_enabled() -> bool:
@@ -128,8 +159,15 @@ class ConvTransposeLayer(nn.Module):
         # geometry shifted by one pixel), so reference checkpoints import
         # bit-faithfully (compat/torch_nr.py flips the kernel spatially —
         # torch's transposed conv correlates with the flipped kernel).
-        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding=((1, 2), (1, 2)), dtype=self.dtype)(x)
+        # Computed via the sub-pixel formulation by default (same params,
+        # same numbers, no dilated-input MXU waste — ops/subpixel.py).
+        if _subpixel_ct_enabled():
+            x = SubpixelConvTranspose(self.features, dtype=self.dtype,
+                                      name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)),
+                                 dtype=self.dtype)(x)
         if self.norm_type == "channel":
             x = ChannelNorm(self.features)(x, gelu=self.activation)
         else:

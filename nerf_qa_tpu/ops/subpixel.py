@@ -1,0 +1,77 @@
+"""Sub-pixel (pixel-shuffle) formulation of the 2x transposed conv.
+
+The NR decoder's upsample layers (model_nr_v8.py:35-51: ConvTranspose2d
+k=3 s=2 p=1 outp=1) lower to an input-dilated convolution: the MXU
+convolves a zero-interleaved input, so ~3/4 of every kernel window's
+MACs multiply structural zeros. The algebraically exact rewrite splits
+the output by pixel parity — each of the 4 output subgrids depends on a
+fixed subset of kernel taps over the UNDILATED input:
+
+  out[2y  , 2x  ] = x * k[1,1]                      (1 tap)
+  out[2y  , 2x+1] = x*k[1,0] + x(->)k[1,2]          (2 taps)
+  out[2y+1, 2x  ] = x*k[0,1] + x(v)k[2,1]           (2 taps)
+  out[2y+1, 2x+1] = 4 corner taps                   (4 taps)
+
+packed here as ONE dense 2x2 conv with 4*C_out output channels over the
+(right/bottom zero-padded) input, followed by a pixel-shuffle reshape —
+2.25x fewer MACs than the dilated form and a single well-shaped GEMM.
+Exact parity with flax nn.ConvTranspose(padding=((1,2),(1,2))) is
+enforced by tests/test_subpixel.py (same params, <1e-5).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_subpixel_kernel(kernel: jax.Array) -> jax.Array:
+    """(3,3,I,O) transposed-conv kernel -> (2,2,I,4O) sub-pixel kernel.
+
+    Output channel blocks are ordered (even-even, even-odd, odd-even,
+    odd-odd) so the pixel-shuffle is a plain reshape+transpose.
+    """
+    i, o = kernel.shape[2], kernel.shape[3]
+    z = jnp.zeros((i, o), kernel.dtype)
+    k = kernel
+    # taps[(sub)][(dy,dx)] — from the dilated-conv index algebra in the
+    # module docstring (data sits at odd dilated indices; pad 1 left/top;
+    # verified against flax ConvTranspose's impulse response:
+    # out[2y+1-a, 2x+1-b] += x[y,x]·k[a,b])
+    kf = k
+    sub = [
+        [[kf[1, 1], z], [z, z]],                    # even row, even col
+        [[kf[1, 0], kf[1, 2]], [z, z]],             # even row, odd col
+        [[kf[0, 1], z], [kf[2, 1], z]],             # odd row, even col
+        [[kf[0, 0], kf[0, 2]], [kf[2, 0], kf[2, 2]]],  # odd, odd
+    ]
+    # (2, 2, I, 4O): concat the four sub-kernels on the output axis
+    rows = []
+    for dy in range(2):
+        cols = []
+        for dx in range(2):
+            cols.append(jnp.concatenate([sub[s][dy][dx] for s in range(4)],
+                                        axis=-1))
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def conv_transpose_2x_subpixel(x: jax.Array, kernel: jax.Array,
+                               bias: jax.Array | None = None,
+                               precision=None) -> jax.Array:
+    """Exact 2x transposed conv (k3 s2, torch p1/outp1 alignment) as a
+    dense 2x2 conv + pixel shuffle. x: (N,H,W,I); kernel: (3,3,I,O)."""
+    n, h, w, _ = x.shape
+    o = kernel.shape[3]
+    packed = pack_subpixel_kernel(kernel).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, packed, (1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (N, H, W, 4O)
+    y = y.reshape(n, h, w, 2, 2, o)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, o)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)

@@ -1,0 +1,175 @@
+"""Host-side feed-rate benchmark: can the data plane feed the chip?
+
+The reference feeds its GPU from 4-5 PIL/cv2 DataLoader workers
+(nerf_qa/data.py:174-188); this framework's equivalent is the C++
+decode+resize pool (native/decoder.cpp). The device pipeline scores
+~1400 256²-pair frames/s (PARITY.md) — this tool measures what the HOST
+can actually sustain:
+
+* ``fps_host_decode``: decode+resize throughput of the native pool on
+  committed-format fixtures (1080p JPEG and PNG -> 256² f32), across
+  thread counts. Throughput scales ~linearly with cores (the pool is
+  embarrassingly parallel per image); this build host has ONE core, so
+  the honest bound here is the single-core rate — production v5e hosts
+  ship 100+ vCPUs.
+* ``fps_overlapped``: decode of batch N+1 overlapped with device scoring
+  of batch N (the double-buffered prefetch pattern of train/nr_train's
+  H2D prefetch). In this environment the TPU sits behind a network
+  tunnel whose H2D is ~0.05-0.4 GB/s, so the overlapped number is
+  harness-bound — reported for completeness, labeled as such.
+
+Usage: python -m nerf_qa_tpu.tools.bench_host_decode [--frames 32]
+       [--threads 1,2,4,8] [--overlap] [--json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_fixtures(root: str, n: int, h: int = 1080, w: int = 1920,
+                  codec: str = "jpeg") -> list[str]:
+    """n distinct synthetic 1080p frames (gradient + noise texture — JPEG
+    entropy comparable to rendered content, not flat fields)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], axis=-1)
+    paths = []
+    for i in range(n):
+        img = np.clip(
+            base * 0.7 + rng.normal(0.15, 0.08, (h, w, 3)), 0, 1)
+        arr = (img * 255).astype(np.uint8)
+        ext = "jpg" if codec == "jpeg" else "png"
+        p = os.path.join(root, f"frame_{i:04d}.{ext}")
+        Image.fromarray(arr).save(p, quality=90) if codec == "jpeg" \
+            else Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def bench_decode(paths: list[str], threads: int, out_hw=(256, 256),
+                 reps: int = 3) -> float:
+    """frames/s of the native pool decoding+resizing ``paths``."""
+    from nerf_qa_tpu.data import native
+
+    native.decode_resize_batch(paths[:2], *out_hw, threads=threads)  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        native.decode_resize_batch(paths, *out_hw, threads=threads)
+    return len(paths) * reps / (time.perf_counter() - t0)
+
+
+def bench_overlapped(paths: list[str], threads: int, batch: int = 16,
+                     iters: int = 6) -> float:
+    """Decode batch N+1 on a host thread while the device scores batch N
+    (pipelined producer/consumer; one queue slot = double buffering)."""
+    import queue
+    import threading as th
+
+    import jax
+
+    from nerf_qa_tpu.compat.pretrained import (
+        resolve_dists_weights,
+        resolve_vgg_params,
+    )
+    from nerf_qa_tpu.config import DISTSConfig
+    from nerf_qa_tpu.core import dists
+    from nerf_qa_tpu.data import native
+
+    cfg = DISTSConfig(compute_dtype="bfloat16", stats_impl="pallas")
+    params = resolve_vgg_params(seed=0)
+    weights = resolve_dists_weights(cfg)
+
+    @jax.jit
+    def step(x, y):
+        return dists.forward(params, weights, x, y, cfg)
+
+    def decode_batch(i):
+        sel = [paths[(i * batch + j) % len(paths)] for j in range(batch)]
+        return native.decode_resize_batch(sel, 256, 256, threads=threads)
+
+    x0 = decode_batch(0)
+    _ = np.asarray(step(x0, x0))  # compile
+
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def producer():
+        for i in range(iters):
+            q.put(decode_batch(i))
+        q.put(None)
+
+    t = th.Thread(target=producer)
+    t0 = time.perf_counter()
+    t.start()
+    outs = []
+    while True:
+        b = q.get()
+        if b is None:
+            break
+        d = jax.device_put(b)
+        outs.append(step(d, d))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    t.join()
+    return batch * iters / dt
+
+
+def run(frames: int = 32, threads=(1, 2, 4, 8), overlap: bool = False,
+        frames_dir: str | None = None) -> dict:
+    result: dict = {"host_cores": os.cpu_count()}
+    with tempfile.TemporaryDirectory() as tmp:
+        for codec in ("jpeg", "png"):
+            if frames_dir:
+                paths = sorted(
+                    os.path.join(frames_dir, f) for f in os.listdir(frames_dir)
+                )[:frames]
+                if not paths:
+                    continue
+            else:
+                paths = make_fixtures(tmp, frames, codec=codec)
+            for t in threads:
+                result[f"fps_host_decode_{codec}_t{t}"] = round(
+                    bench_decode(paths, t), 2)
+            if frames_dir:
+                break
+        if overlap:
+            paths = make_fixtures(tmp, frames, codec="jpeg")
+            result["fps_overlapped"] = round(
+                bench_overlapped(paths, threads[-1]), 2)
+            result["overlap_note"] = (
+                "H2D rides a network tunnel in this environment "
+                "(harness-bound); on a directly-attached host the decode "
+                "rate is the binding constraint"
+            )
+    return result
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="host decode feed-rate bench")
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--threads", default="1,2,4,8")
+    p.add_argument("--frames-dir", default=None,
+                   help="bench real frames instead of synthetic fixtures")
+    p.add_argument("--overlap", action="store_true",
+                   help="also measure decode/score overlapped fps (TPU)")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+    res = run(args.frames, tuple(int(t) for t in args.threads.split(",")),
+              overlap=args.overlap, frames_dir=args.frames_dir)
+    if args.json:
+        print(json.dumps(res))
+    else:
+        for k, v in res.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,7 +33,11 @@ from nerf_qa_tpu.data.factories import (
     create_test2_dataloader,
 )
 from nerf_qa_tpu.eval.correlations import REAL_SCENE_IDS, SYNTH_SCENE_IDS
-from nerf_qa_tpu.logging.metrics import MetricCollectionLogger, jsonl_sink
+from nerf_qa_tpu.logging.metrics import (
+    MetricCollectionLogger,
+    jsonl_sink,
+    log_artifact,
+)
 from nerf_qa_tpu.train.fr_train import FRTrainer, group_kfold_splits
 from nerf_qa_tpu.utils.profiling import StepTimer, record_function
 
@@ -283,7 +287,9 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
                 scene_ids=scene_of_test.get(int(vid), "?"),
             )
         results_df = test_logger.video_metrics_df()
-        results_df.to_csv(os.path.join(run_dir, f"results_{fold}.csv"))
+        results_path = os.path.join(run_dir, f"results_{fold}.csv")
+        results_df.to_csv(results_path)
+        log_artifact(results_path, type="results")
         test_logger.log_summary(step)
 
     # cross-dataset validation (run_test2.py:165-167: train Test2,
@@ -316,7 +322,10 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
             os.path.join(run_dir, f"results_val_{fold}.csv")
         )
         val_logger.log_summary(step)
-    save_checkpoint(os.path.join(run_dir, "ckpt"), fold, {"params": params})
+    ckpt_path = save_checkpoint(os.path.join(run_dir, "ckpt"), fold,
+                                {"params": params})
+    # run_final.py:328-336 uploads the saved model as a wandb Artifact
+    log_artifact(ckpt_path, name=f"model_{fold}", type="model")
     return params
 
 

@@ -36,7 +36,11 @@ from nerf_qa_tpu.config import DISTSConfig, NRModelConfig, TrainConfig
 from nerf_qa_tpu.data.factories import create_nr_dataloader
 from nerf_qa_tpu.data.pipeline import device_prefetch
 from nerf_qa_tpu.eval.correlations import compute_correlations
-from nerf_qa_tpu.logging.metrics import MetricAggregator, jsonl_sink
+from nerf_qa_tpu.logging.metrics import (
+    MetricAggregator,
+    jsonl_sink,
+    log_artifact,
+)
 from nerf_qa_tpu.models.nr.model import NRModel
 from nerf_qa_tpu.train.nr_train import NRTrainer, scene_holdout_split
 from nerf_qa_tpu.utils.profiling import StepTimer, record_function
@@ -339,9 +343,11 @@ def main(argv=None):
                  epoch)
             print("test:", {k: round(v, 4) for k, v in report.items()})
 
-    save_checkpoint(ckpt_dir, args.epochs,
-                    {"params": params, "state": state,
-                     "opt_state": opt_state})
+    final_path = save_checkpoint(ckpt_dir, args.epochs,
+                                 {"params": params, "state": state,
+                                  "opt_state": opt_state})
+    # run_final.py:328-336-style model Artifact upload (no-op sans wandb)
+    log_artifact(final_path, name="nr_model", type="model")
     with open(os.path.join(args.output_dir, "config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
 

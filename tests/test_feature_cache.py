@@ -64,6 +64,7 @@ def _tokens(model, sem_input):
     )
 
 
+@pytest.mark.slow
 def test_cached_forward_matches_direct(tiny_model):
     rng = np.random.default_rng(0)
     r256 = rng.random((2, R256, R256, 3), np.float32)
@@ -78,6 +79,7 @@ def test_cached_forward_matches_direct(tiny_model):
     np.testing.assert_allclose(cached, direct, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_cached_losses_and_train_step(tiny_model):
     from nerf_qa_tpu.config import TrainConfig
     from nerf_qa_tpu.train.nr_train import NRTrainer

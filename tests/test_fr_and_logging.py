@@ -125,6 +125,7 @@ def test_score_dataloader_video_pooling(vgg_params, fake_train_df):
     )
 
 
+@pytest.mark.slow
 def test_scene_type_head_identity_then_learns(vgg_params, fake_train_df):
     """Scene-type calibration (run_test2.py:218 hook): identity at init,
     and per-type affines absorb a type-dependent target offset that the

@@ -90,6 +90,7 @@ def test_nr_losses_structure(model, batch):
     )
 
 
+@pytest.mark.slow
 def test_nr_training_reduces_loss(model, batch):
     gt, render, r224 = batch
     trainer = NRTrainer(model, TrainConfig(lr=3e-4, schedule="constant"),

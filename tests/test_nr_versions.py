@@ -9,6 +9,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# whole-file slow mark: the suite's dominating file
+# (fast tier: pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from nerf_qa_tpu.config import NRModelConfig, TrainConfig
 from nerf_qa_tpu.core.vgg import init_vgg16_params
 from nerf_qa_tpu.models.nr.model import NRModel

@@ -87,6 +87,7 @@ def test_mp4_input(tmp_path, capsys):
     assert out["dists"]["video_score"] > 0.0
 
 
+@pytest.mark.slow
 def test_nr_mode(pair_dirs, tmp_path, capsys):
     """--nr scores renders without references through a checkpointed NR
     model (train-nr.py:305-315 video semantics)."""
@@ -134,6 +135,7 @@ def test_shape_mismatch_errors(pair_dirs, tmp_path):
         score_main(["--ref", ref_dir, "--dist", str(other), "--fp32"])
 
 
+@pytest.mark.slow
 def test_nr_scorer_uses_finetuned_alpha_beta(pair_dirs, tmp_path):
     """A checkpoint carrying dists_alpha_beta (the torch importer's
     output) changes the NR scores — the fine-tuned weights are applied,

@@ -129,6 +129,7 @@ def test_data_parallel_matches_single(service, pair_dirs):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_nr_request(pair_dirs, tmp_path):
     """A request without "ref" takes the no-reference path through a
     checkpointed NR model (train-nr.py:305-315 semantics)."""

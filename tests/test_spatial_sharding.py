@@ -31,6 +31,7 @@ def setup():
     return mesh, vgg, weights, x, y
 
 
+@pytest.mark.slow
 def test_spatial_sharded_matches_single_chip(setup):
     mesh, vgg, weights, x, y = setup
     cfg = DISTSConfig()  # fp32 parity mode
@@ -48,6 +49,7 @@ def test_spatial_sharded_rejects_unaligned(setup):
                               jnp.zeros((1, 250, 128, 3)), mesh)
 
 
+@pytest.mark.slow
 def test_spatial_adists_matches_single_chip(setup):
     mesh, vgg, weights, x, y = setup
     # 128x64: stages 0-2 take the windowed path, 3-5 the global-stats
@@ -63,6 +65,7 @@ def test_spatial_adists_matches_single_chip(setup):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_adists_map_matches_single_chip(setup):
     mesh, vgg, weights, x, y = setup
     xs = np.ascontiguousarray(x[:, :, :64])

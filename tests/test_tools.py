@@ -193,6 +193,74 @@ def test_warp_identity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
 
 
+def _textured(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        0.5 + 0.4 * np.sin(xx / 3.1) * np.cos(yy / 4.7),
+        (xx * yy) % 13 / 13.0,
+        rng.random((h, w)),
+    ], axis=-1)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def test_estimate_warp_recovers_translation():
+    """The native dense matcher (estimate_warp) recovers a known integer
+    shift between render and reference in the interior — the capability
+    the reference's dead RoMa import was for (image_retrieval.py:94-96)."""
+    import jax.numpy as jnp
+
+    vgg = init_vgg16_params(seed=0)
+    rng = np.random.default_rng(5)
+    render = _textured(rng, 64, 64)[None]
+    dy, dx = 8, 4
+    reference = np.roll(render, (dy, dx), axis=(1, 2))
+    grid, cert = retrieval.estimate_warp(
+        vgg, jnp.asarray(render), jnp.asarray(reference),
+        compute_dtype=jnp.float32,
+    )
+    grid = np.asarray(grid)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    want = np.stack([yy + dy, xx + dx], -1)  # roll: src = dst + shift
+    interior = (slice(None), slice(16, 48), slice(16, 48))
+    err = np.abs(grid[interior] - want[None][interior])
+    assert err.mean() < 2.0, err.mean()
+    assert np.asarray(cert)[interior].mean() > 0.5
+
+
+def test_pseudo_fr_score_end_to_end():
+    """pseudo_fr_score (estimate -> warp -> masked DISTS) scores a
+    crop-misaligned identical pair meaningfully closer than naive DISTS.
+    The coarse matcher is ~0.5px accurate; the residual distance is
+    bilinear-warp blur on high-frequency texture (sub-pixel iterative
+    refinement — RoMa's contribution — is explicitly out of scope), so
+    the asserted margin is the honest coarse-matcher one."""
+    import jax.numpy as jnp
+
+    from nerf_qa_tpu.config import DISTSConfig
+    from nerf_qa_tpu.core import dists as d
+
+    vgg = init_vgg16_params(seed=0)
+    w = d.load_pretrained_weights()
+    rng = np.random.default_rng(6)
+    base = _textured(rng, 80, 80)
+    render = base[8:72, 4:68][None]  # same content, (8, 4) misaligned
+    reference = base[0:64, 0:64][None]
+    cfg = DISTSConfig()
+    naive = float(d.forward(vgg, w, jnp.asarray(render),
+                            jnp.asarray(reference), cfg)[0])
+    pseudo = float(retrieval.pseudo_fr_score(
+        vgg, w, jnp.asarray(render), jnp.asarray(reference), cfg)[0])
+    assert pseudo < naive * 0.8, (pseudo, naive)
+    # the machinery itself is near-exact: the ground-truth grid scores ~0
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    gt_grid = jnp.asarray(np.stack([yy + 8, xx + 4], -1)[None])
+    valid = ((yy + 8 <= 63) & (xx + 4 <= 63)).astype(np.float32)[None]
+    warped = retrieval.warp_image(jnp.asarray(reference), gt_grid)
+    s_gt = float(retrieval.masked_dists_score(
+        vgg, w, jnp.asarray(render), warped, jnp.asarray(valid), cfg)[0])
+    assert s_gt < 0.01, s_gt
+
+
 def test_bayes_sweep_beats_random_on_quadratic(tmp_path):
     """GP/EI sampler (method: bayes) concentrates trials near the optimum
     of a smooth objective — mean of the last trials must beat random's."""

@@ -27,6 +27,7 @@ def nr_tree(tmp_path_factory):
     return root, csv
 
 
+@pytest.mark.slow
 def test_train_and_checkpoint(nr_tree, tmp_path):
     root, csv = nr_tree
     out = str(tmp_path / "run1")
@@ -38,6 +39,7 @@ def test_train_and_checkpoint(nr_tree, tmp_path):
     assert epoch == 1 and "params" in ckpt and "opt_state" in ckpt
 
 
+@pytest.mark.slow
 def test_init_from_with_finetuned_alpha_beta(nr_tree, tmp_path, capsys):
     """--init-from seeds decoder params (fresh optimizer) and applies a
     checkpoint's imported dists_alpha_beta (compat/torch_nr output)."""
