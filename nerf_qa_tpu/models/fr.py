@@ -48,16 +48,21 @@ def init_head_params(
 
         sign = 1.0 if cfg.subjective_score_type == "MOS" else -1.0
         is_mos = cfg.subjective_score_type == "MOS"
+        # floor the slope-scale guess/result: near-constant predictors
+        # (tiny std) otherwise drive curve_fit to |b4|→0, a step-function
+        # head whose gradients vanish everywhere — training never recovers
+        b4_floor = max(1e-3 * (np.std(x) + abs(np.median(x))), 1e-6)
         p0 = [
             np.max(y) if is_mos else np.min(y),
             np.min(y) if is_mos else np.max(y),
             np.median(x),
-            np.std(x),
+            max(np.std(x), b4_floor),
         ]
         params, _ = curve_fit(
             lambda x, b1, b2, b3, b4: _logistic_np(x, b1, b2, b3, b4, sign),
             x, y, p0=p0, maxfev=20000,
         )
+        params[3] = np.sign(params[3] or 1.0) * max(abs(params[3]), b4_floor)
         return {f"b{i + 1}": jnp.asarray([v], jnp.float32)
                 for i, v in enumerate(params)}
     if cfg.regression_type == "sqrt":
@@ -99,9 +104,12 @@ def apply_head(head: dict[str, jax.Array], dists_scores: jax.Array,
     if cfg.regression_type == "logistic":
         sign = 1.0 if cfg.subjective_score_type == "MOS" else -1.0
         b1, b2, b3, b4 = head["b1"], head["b2"], head["b3"], head["b4"]
-        return (b1 - b2) / (
-            1 + jnp.exp(sign * (dists_scores - b3) / jnp.abs(b4))
-        ) + b2
+        # sigmoid(-z) == 1/(1+exp(z)) but saturates without inf: the
+        # naive exp form yields inf/inf = NaN *gradients* once a fold's
+        # curve_fit lands on a tiny |b4| (near-constant predictor), which
+        # silently NaNs the whole fold after one optimizer step
+        z = sign * (dists_scores - b3) / jnp.abs(b4)
+        return (b1 - b2) * jax.nn.sigmoid(-z) + b2
     if cfg.regression_type == "sqrt":
         return jnp.sqrt(dists_scores) * head["weight"] + head["bias"]
     return dists_scores * head["weight"] + head["bias"]
@@ -124,6 +132,30 @@ def forward(
     dists_scores = dists.forward(
         vgg_params, params["dists"], dist_imgs, ref_imgs, cfg.dists
     )
+    pred = apply_head_with_stats(params["head"], dists_scores, stats, cfg)
+    pred = apply_scene_type(params["head"], pred, scene_types)
+    return pred, dists_scores
+
+
+def forward_from_stats(
+    params: dict[str, Any],
+    pair_stats: jax.Array,
+    cfg: FRModelConfig = FRModelConfig(),
+    stats: jax.Array | None = None,
+    scene_types: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """(mos_pred, dists_score) from precomputed pair statistics.
+
+    ``pair_stats``: (5, N, 1475) pooled moments from
+    ``dists.pyramid_stats`` — the frozen-VGG part of the metric. FR
+    training only updates α/β and the regression head, and the DISTS
+    score is (statistics ∘ frozen pyramid) followed by the α/β-weighted
+    similarity (DISTS_pt.py:122-148), so the expensive half can be
+    computed once per frame pair and reused every epoch. Gradients
+    w.r.t. α/β and the head are exact; the reference re-runs both VGG16
+    passes every step (run_final.py:189)."""
+    dists_scores = dists.score_from_stats(pair_stats, params["dists"],
+                                          cfg.dists)
     pred = apply_head_with_stats(params["head"], dists_scores, stats, cfg)
     pred = apply_scene_type(params["head"], pred, scene_types)
     return pred, dists_scores

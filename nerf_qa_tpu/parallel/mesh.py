@@ -34,9 +34,9 @@ def create_mesh(devices=None, model_parallel: int = 1) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch/frame) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+def data_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Shard the batch/frame axis (position ``axis``) over the data axis."""
+    return NamedSharding(mesh, P(*((None,) * axis), DATA_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

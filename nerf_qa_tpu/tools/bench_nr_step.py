@@ -8,10 +8,16 @@ HBM fragmentation and compilation-cache crosstalk between variants.
 
 Usage:
   python -m nerf_qa_tpu.tools.bench_nr_step --variant bf16r --batch 4
+  python -m nerf_qa_tpu.tools.bench_nr_step --forward --batch 8
 
 Variants: f32 (fp32 decoder), bf16 (bf16 decoder convs), bf16r (bf16 +
 jax.checkpoint on each RefineUp stage). PARITY.md records the measured
 numbers; train_nr exposes the same knobs as --decoder-dtype/--remat.
+
+``--forward`` measures the SERVING path instead (the score/serve --nr
+forward: encode + decoder + DISTS scoring, deterministic, no grads) with
+a per-stage breakdown from separately jitted stages — the fused number
+is the one that matters; the splits locate regressions/improvements.
 """
 from __future__ import annotations
 
@@ -29,6 +35,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--vit-depth", type=int, default=12)
+    p.add_argument("--forward", action="store_true",
+                   help="measure the serving forward (encode+decode+score) "
+                        "with a per-stage breakdown instead of the train "
+                        "step")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -55,6 +65,8 @@ def main(argv=None) -> None:
     )
     model = NRModel(init_vgg16_params(seed=0), cfg=cfg,
                     vit=ViTS14(depth=args.vit_depth))
+    if args.forward:
+        return _bench_forward(args, model, render, r224)
     trainer = NRTrainer(
         model, TrainConfig(lr=1e-4, schedule="constant", batch_size=b),
         steps_per_epoch=100,
@@ -91,6 +103,69 @@ def main(argv=None) -> None:
         print(f"{args.variant} B={b}: {result['ms_per_step']} ms/step "
               f"({result['frames_per_sec']} fr/s) "
               f"compile {result['compile_s']}s loss {result['loss']}")
+
+
+def _bench_forward(args, model, render, r224) -> None:
+    """Serving-forward benchmark with per-stage breakdown."""
+    import jax
+    import jax.numpy as jnp
+
+    params, state = model.init(seed=0)
+    render = jnp.asarray(render)
+    r224 = jnp.asarray(r224)
+
+    @jax.jit
+    def full(p, x256, x224):
+        return model.forward(p, x256, x224, deterministic=True, state=state)
+
+    @jax.jit
+    def encode(x256, x224):
+        return model.encode(x256, x224)
+
+    @jax.jit
+    def decode(p, feats):
+        (predicted, reg_map), _ = model.apply_decoder(
+            p, feats, deterministic=True, state=state
+        )
+        return predicted, reg_map
+
+    @jax.jit
+    def score(feats, predicted, reg_map):
+        s, _ = model._compose_score(feats, predicted, reg_map)
+        return s
+
+    def timed(fn, *fargs):
+        out = fn(*fargs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [fn(*fargs) for _ in range(args.iters)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / args.iters, outs[-1]
+
+    dt_full, _ = timed(full, params, render, r224)
+    dt_enc, feats = timed(encode, render, r224)
+    dt_dec, (predicted, reg_map) = timed(decode, params, feats)
+    dt_score, _ = timed(score, feats, predicted, reg_map)
+
+    result = {
+        "mode": "serving_forward",
+        "variant": args.variant,
+        "batch": args.batch,
+        "iters": args.iters,
+        "ms_forward": round(dt_full * 1e3, 1),
+        "frames_per_sec": round(args.batch / dt_full, 2),
+        "ms_encode": round(dt_enc * 1e3, 1),
+        "ms_decoder": round(dt_dec * 1e3, 1),
+        "ms_scoring": round(dt_score * 1e3, 1),
+        "device": str(jax.devices()[0]),
+    }
+    if args.json:
+        print(json.dumps(result))
+    else:
+        print(f"forward B={args.batch}: {result['ms_forward']} ms "
+              f"({result['frames_per_sec']} fr/s) = encode "
+              f"{result['ms_encode']} + decoder {result['ms_decoder']} + "
+              f"scoring {result['ms_scoring']} (separate-jit splits)")
 
 
 if __name__ == "__main__":

@@ -39,7 +39,14 @@ def _save(path, img):
 
 def make_fr_tree(root: str, scenes=("lego", "truck", "ship", "fortress"),
                  methods_per_scene: int = 3, frames: int = 4,
-                 hw=(96, 128), seed: int = 0) -> str:
+                 hw=(96, 128), seed: int = 0, dists_col: bool = True) -> str:
+    """``dists_col=False`` omits the fabricated DISTS column so drivers
+    fall back to scoring the videos with the REAL metric for head init —
+    required when training runs on random backbone weights, whose score
+    scale (~0.001-0.13) is nothing like the fabricated 0.1+1.5σ: a
+    logistic head curve_fit to the fabricated scale saturates on the
+    actual scores and stalls training (measured: 2 of 4 CV folds pinned
+    at pred≈5.0 with NEGATIVE held-out correlations)."""
     rng = np.random.default_rng(seed)
     rows = []
     for scene in scenes:
@@ -58,15 +65,17 @@ def make_fr_tree(root: str, scenes=("lego", "truck", "ship", "fortress"),
             for f, img in enumerate(base_frames):
                 noisy = np.clip(img + rng.normal(0, sigma, img.shape), 0, 1)
                 _save(os.path.join(dist_dir, f"{f:03d}.png"), noisy)
-            rows.append({
+            row = {
                 "distorted_folder": dist_name,
                 "reference_folder": ref_name,
                 "scene": scene,
                 "frame_count": frames,
                 "MOS": mos,
                 "DMOS": 6.0 - mos,
-                "DISTS": 0.1 + 1.5 * sigma,
-            })
+            }
+            if dists_col:
+                row["DISTS"] = 0.1 + 1.5 * sigma
+            rows.append(row)
     csv_path = os.path.join(root, "scores.csv")
     pd.DataFrame(rows).to_csv(csv_path, index=False)
     return csv_path

@@ -109,9 +109,12 @@ def main(argv=None):
     run_dir = os.path.join(args.out, "run")
     os.makedirs(data_dir, exist_ok=True)
     scenes = tuple(f"scene{i:02d}" for i in range(args.scenes))
+    # dists_col=False: head init must come from REAL metric scores — a
+    # logistic head fit to a fabricated DISTS scale saturates on the
+    # actual score range and stalls training (see make_fr_tree)
     csv = make_fr_tree(data_dir, scenes=scenes,
                        methods_per_scene=args.methods, frames=args.frames,
-                       seed=0)
+                       seed=0, dists_col=False)
 
     run_fr_main([
         "--data-dir", data_dir, "--scores-csv", csv,
@@ -120,6 +123,7 @@ def main(argv=None):
         "--lr", str(args.lr), "--batch-size", str(args.batch_size),
         "--regression-type", "logistic",
         "--compute-dtype", args.compute_dtype,
+        "--cache-stats",  # frozen-VGG stats cached once per fold
         "--num-workers", "2",
     ])
 

@@ -100,6 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad-accum-steps", type=int, default=0,
                    help="accumulate N micro-batch gradients per step "
                         "(run.py full-epoch accumulation style)")
+    p.add_argument("--cache-stats", action="store_true",
+                   help="precompute the frozen-VGG DISTS statistics of "
+                        "every training pair once, then train α/β + head "
+                        "over the cached (5,1475) moments — exact "
+                        "gradients, epochs cost ~nothing. Valid for "
+                        "deterministic datasets (test2/large); ignored "
+                        "with --dataset nerf-qa-resized (random crops "
+                        "change the features every epoch)")
     add_backbone_args(p)
     return p
 
@@ -204,6 +212,20 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
                         dists_weights=dists_weights,
                         n_stats=len(stats_cols),
                         n_scene_types=n_scene_types)
+    use_cache = args.cache_stats and args.dataset != "nerf-qa-resized"
+    if args.cache_stats and not use_cache:
+        print("--cache-stats ignored: nerf-qa-resized re-crops every epoch")
+    cache = None
+    if use_cache:
+        from nerf_qa_tpu.data.pipeline import DataLoader
+
+        # one sequential frozen-VGG pass over the whole train split;
+        # epochs then run on the cached (5,1475) moments
+        seq_loader = DataLoader(train_loader.dataset,
+                                batch_size=args.batch_size, sampler=None,
+                                num_workers=args.num_workers)
+        cache = trainer.build_stats_cache(iter(seq_loader))
+
     # data-driven head init needs per-video DISTS values; compute them
     # with the pretrained metric when the CSV doesn't carry a DISTS
     # column (prep.py normally writes it)
@@ -211,7 +233,19 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
         x = train_df["DISTS"].values
     else:
         print("no DISTS column — scoring training videos for head init")
-        per_video = trainer.compute_dists_scores(iter(train_loader))
+        if cache is not None:
+            from nerf_qa_tpu.core import dists as dists_core
+
+            frame_scores = np.asarray(dists_core.score_from_stats(
+                cache["stats"].transpose(1, 0, 2),
+                trainer.original_weights, model_cfg.dists,
+            ))
+            per_video = {
+                int(v): float(np.mean(frame_scores[cache["video_ids"] == v]))
+                for v in np.unique(cache["video_ids"])
+            }
+        else:
+            per_video = trainer.compute_dists_scores(iter(train_loader))
         x = np.asarray([per_video.get(i, np.nan) for i in range(len(train_df))])
         x = np.where(np.isnan(x), np.nanmean(x), x)
     y = train_df[args.subjective_score_type].values
@@ -227,7 +261,26 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
 
     scene_of_video = dict(enumerate(train_df["scene"].tolist()))
     step = 0
-    for epoch in range(args.epochs):
+    if use_cache:
+        rng = np.random.default_rng(args.seed)
+        for epoch in range(args.epochs):
+            sampler = train_loader.sampler
+            if hasattr(sampler, "set_epoch"):
+                sampler.set_epoch(epoch)
+            order = (np.fromiter(iter(sampler), np.int64)
+                     if sampler is not None
+                     else rng.permutation(len(cache["targets"])))
+            with record_function("train_epoch"):
+                params, opt_state, _ = trainer.train_epoch_cached(
+                    params, opt_state, cache, order, args.batch_size,
+                    logger=train_logger, scene_of_video=scene_of_video,
+                    stats_of_video=train_stats,
+                    scene_type_of_video=train_types,
+                )
+            step += max(1, len(order) // max(1, args.batch_size))
+            timer.tick()
+            train_logger.log_summary(step)
+    for epoch in ([] if use_cache else range(args.epochs)):
         if hasattr(train_loader.sampler, "set_epoch"):
             train_loader.sampler.set_epoch(epoch)
         with record_function("train_epoch"):

@@ -94,6 +94,9 @@ class FRTrainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._dists_step = self._build_dists_step()
+        # cached-stats path (jit wrappers are lazy; no compile unless used)
+        self._cached_train_step = self._build_cached_train_step()
+        self._pair_stats_step = self._build_pair_stats_step()
 
     # -- step builders ---------------------------------------------------
     def loss_fn(self, params, dist_imgs, ref_imgs, targets,
@@ -102,6 +105,23 @@ class FRTrainer:
             params, self.vgg_params, dist_imgs, ref_imgs, self.model_cfg,
             stats=stats, scene_types=scene_types,
         )
+        return self._pred_loss(params, pred, dists_score, targets,
+                               sample_weights)
+
+    def loss_fn_cached(self, params, pair_stats, targets,
+                       sample_weights=None, stats=None, scene_types=None):
+        """loss_fn over precomputed (5, N, 1475) pair statistics — the
+        frozen-pyramid half of DISTS hoisted out of the training loop
+        (see fr.forward_from_stats)."""
+        pred, dists_score = fr.forward_from_stats(
+            params, pair_stats, self.model_cfg,
+            stats=stats, scene_types=scene_types,
+        )
+        return self._pred_loss(params, pred, dists_score, targets,
+                               sample_weights)
+
+    def _pred_loss(self, params, pred, dists_score, targets,
+                   sample_weights=None):
         err = jnp.abs(pred - targets)
         if sample_weights is not None:
             # per-frame weights, e.g. 1/frame_count so each video
@@ -145,6 +165,58 @@ class FRTrainer:
                 donate_argnums=donate,
             )
         return jax.jit(step, donate_argnums=donate)
+
+    def _build_cached_train_step(self):
+        def step(params, opt_state, pair_stats, targets,
+                 sample_weights, stats, scene_types):
+            # cache stores (N, 5, 1475) so the batch axis leads (shards
+            # over the data mesh axis); score_from_stats wants (5, N, C)
+            (loss, aux), grads = jax.value_and_grad(
+                self.loss_fn_cached, has_aux=True
+            )(params, pair_stats.transpose(1, 0, 2), targets,
+              sample_weights, stats, scene_types)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if self.train_cfg.project_weights:
+                params = dict(
+                    params,
+                    dists=dists.project_weights(
+                        params["dists"], self.model_cfg.dists
+                    ),
+                )
+            return params, opt_state, loss, aux
+
+        donate = (0, 1) if jax.default_backend() == "tpu" else ()
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            rsh = meshlib.replicated(self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(rsh, rsh, dsh, dsh, dsh, dsh, dsh),
+                out_shardings=(rsh, rsh, rsh, (dsh, dsh, rsh)),
+                donate_argnums=donate,
+            )
+        return jax.jit(step, donate_argnums=donate)
+
+    def _build_pair_stats_step(self):
+        """Jitted (dist, ref) image batch -> (5, N, 1475) pooled moments
+        (the cacheable frozen-pyramid half of DISTS)."""
+        def step(dist_imgs, ref_imgs):
+            n = dist_imgs.shape[0]
+            both = dists.forward_once(
+                self.vgg_params,
+                jnp.concatenate([dist_imgs, ref_imgs], axis=0),
+                self.model_cfg.dists,
+            )
+            f0 = [f[:n] for f in both]
+            f1 = [f[n:] for f in both]
+            return dists.pyramid_stats(f0, f1, self.model_cfg.dists)
+
+        if self.mesh is not None:
+            dsh = meshlib.data_sharding(self.mesh)
+            sh5 = meshlib.data_sharding(self.mesh, axis=1)
+            return jax.jit(step, in_shardings=(dsh, dsh), out_shardings=sh5)
+        return jax.jit(step)
 
     def _build_eval_step(self):
         def step(params, dist_imgs, ref_imgs, stats, scene_types):
@@ -211,6 +283,84 @@ class FRTrainer:
             self._stats_or_zeros(stats, targets.shape[0]),
             self._scene_types_or_zeros(scene_types, targets.shape[0]),
         )
+
+    def train_step_cached(self, params, opt_state, pair_stats, targets,
+                          sample_weights=None, stats=None, scene_types=None):
+        """Train step over cached (N, 5, 1475) pair statistics."""
+        targets = jnp.asarray(targets, jnp.float32)
+        if sample_weights is None:
+            sample_weights = jnp.ones_like(targets)
+        return self._cached_train_step(
+            params, opt_state, jnp.asarray(pair_stats, jnp.float32),
+            targets, jnp.asarray(sample_weights, jnp.float32),
+            self._stats_or_zeros(stats, targets.shape[0]),
+            self._scene_types_or_zeros(scene_types, targets.shape[0]),
+        )
+
+    def build_stats_cache(self, batches: Iterable) -> dict[str, np.ndarray]:
+        """One frozen-VGG pass over (dist, ref, target, video_id) batches
+        -> {'stats' (N, 5, 1475), 'targets' (N,), 'video_ids' (N,)}.
+
+        Valid whenever the dataset is deterministic (no per-epoch random
+        crops): Test2/LargeQA frame pairs. Afterward every training epoch
+        costs O(N·1475) on the α/β+head parameters instead of two VGG16
+        forward passes per pair per step."""
+        stats_parts, target_parts, vid_parts = [], [], []
+        for batch in batches:
+            dist_imgs, ref_imgs, targets = batch[:3]
+            vids = batch[3] if len(batch) > 3 else np.zeros(len(targets))
+            s = self._pair_stats_step(jnp.asarray(dist_imgs),
+                                      jnp.asarray(ref_imgs))
+            stats_parts.append(np.asarray(s, np.float32).transpose(1, 0, 2))
+            target_parts.append(np.asarray(targets, np.float32))
+            vid_parts.append(np.atleast_1d(np.asarray(vids)))
+        return {
+            "stats": np.concatenate(stats_parts, axis=0),
+            "targets": np.concatenate(target_parts),
+            "video_ids": np.concatenate(vid_parts),
+        }
+
+    def train_epoch_cached(self, params, opt_state, cache: dict,
+                           order: np.ndarray, batch_size: int,
+                           logger=None, scene_of_video=None,
+                           stats_of_video=None, scene_type_of_video=None):
+        """One epoch over a stats cache in ``order`` (a sampler's index
+        sequence into the cache's leading axis)."""
+        losses = []
+        for lo in range(0, len(order), batch_size):
+            idx = order[lo:lo + batch_size]
+            vids = cache["video_ids"][idx]
+            vstats = None
+            if stats_of_video is not None:
+                vstats = np.stack([
+                    stats_of_video[int(v)] for v in vids
+                ]).astype(np.float32)
+            stypes = None
+            if scene_type_of_video is not None:
+                stypes = np.asarray(
+                    [scene_type_of_video[int(v)] for v in vids], np.int32
+                )
+            params, opt_state, loss, aux = self.train_step_cached(
+                params, opt_state, cache["stats"][idx],
+                cache["targets"][idx], stats=vstats, scene_types=stypes,
+            )
+            losses.append(float(loss))
+            if logger is not None:
+                pred, dists_score, _ = aux
+                targets = cache["targets"][idx]
+                logger.add_entries(
+                    {
+                        "loss": np.full(len(idx), float(loss)),
+                        "mse": np.square(np.asarray(pred) - targets),
+                        "pred_score": np.asarray(pred),
+                        "mos": targets,
+                    },
+                    video_ids=vids,
+                    scene_ids=np.asarray([
+                        (scene_of_video or {}).get(int(v), "?") for v in vids
+                    ]),
+                )
+        return params, opt_state, float(np.mean(losses)) if losses else 0.0
 
     def compute_dists_scores(self, batches: Iterable) -> dict:
         """Per-video mean pretrained-DISTS scores over a loader (used for
