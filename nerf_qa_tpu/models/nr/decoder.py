@@ -177,7 +177,7 @@ class RefineUpLegacy(nn.Module):
             # raw transposed conv (reference uses bare nn.ConvTranspose2d
             # k3 s2 p1 outp1, model_nr.py:59-61 / model_nr_v6.py:62);
             # padding ((1,2),(1,2)) is torch's exact output alignment.
-            # Sub-pixel compute path by default (layers.py note).
+            # Sub-pixel path is opt-in — measured slower (layers.py).
             from nerf_qa_tpu.models.nr.layers import (
                 SubpixelConvTranspose,
                 _subpixel_ct_enabled,

@@ -21,11 +21,16 @@ from nerf_qa_tpu.ops.subpixel import conv_transpose_2x_subpixel
 
 
 def _subpixel_ct_enabled() -> bool:
-    """Default-on sub-pixel formulation of the 2x transposed convs
-    (ops/subpixel.py): algebraically exact, 2.25x fewer MACs than the
-    input-dilated lowering, one dense MXU GEMM + pixel shuffle.
-    NERF_QA_TPU_SUBPIXEL_CT=0 restores the nn.ConvTranspose lowering."""
-    return os.environ.get("NERF_QA_TPU_SUBPIXEL_CT", "1") != "0"
+    """Opt-in (NERF_QA_TPU_SUBPIXEL_CT=1) sub-pixel formulation of the
+    2x transposed convs (ops/subpixel.py) — a MEASURED NEGATIVE on v5e
+    despite 2.25x fewer nominal MACs: B=8 serving forward 199.7 ms vs
+    186.0 ms for the default input-dilated nn.ConvTranspose lowering
+    (decoder stage 137.9 vs 127.1 ms), train step 481.2 vs 463.6 ms. XLA:TPU
+    already exploits the dilated input's structural zeros, and the
+    4O-channel 2x2 conv + pixel-shuffle transpose costs an extra
+    relayout pass that eats the saving. Kept as a reference formulation
+    (exact parity, same param tree) like ops/pallas/channelnorm."""
+    return os.environ.get("NERF_QA_TPU_SUBPIXEL_CT", "0") == "1"
 
 
 class SubpixelConvTranspose(nn.Module):
@@ -159,8 +164,8 @@ class ConvTransposeLayer(nn.Module):
         # geometry shifted by one pixel), so reference checkpoints import
         # bit-faithfully (compat/torch_nr.py flips the kernel spatially —
         # torch's transposed conv correlates with the flipped kernel).
-        # Computed via the sub-pixel formulation by default (same params,
-        # same numbers, no dilated-input MXU waste — ops/subpixel.py).
+        # The sub-pixel formulation is opt-in and measured slower here
+        # (see _subpixel_ct_enabled).
         if _subpixel_ct_enabled():
             x = SubpixelConvTranspose(self.features, dtype=self.dtype,
                                       name="ConvTranspose_0")(x)

@@ -17,6 +17,16 @@ packed here as ONE dense 2x2 conv with 4*C_out output channels over the
 2.25x fewer MACs than the dilated form and a single well-shaped GEMM.
 Exact parity with flax nn.ConvTranspose(padding=((1,2),(1,2))) is
 enforced by tests/test_subpixel.py (same params, <1e-5).
+
+MEASURED NEGATIVE on v5e (kept opt-in, NERF_QA_TPU_SUBPIXEL_CT=1): the
+MAC count is nominal, not realized — XLA:TPU's own lowering of the
+input-dilated conv already skips the structural zeros, and the
+pixel-shuffle is a real relayout pass on a (N,256,256,4*C) tensor. A/B
+at B=8 bf16 (iters=20, same harness): serving forward 199.7 ms
+(decoder 137.9) sub-pixel vs 186.0 ms (decoder 127.1) dilated; train
+step 481.2 vs 463.6 ms (same-session A/B). Same pass-economics lesson as
+ops/pallas/channelnorm: beat XLA by removing HBM passes, not by
+re-deriving FLOP algebra it already exploits.
 """
 from __future__ import annotations
 
@@ -64,10 +74,15 @@ def conv_transpose_2x_subpixel(x: jax.Array, kernel: jax.Array,
     o = kernel.shape[3]
     packed = pack_subpixel_kernel(kernel).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    # fp32 output storage only when the operands are fp32: with bf16
+    # operands the MXU still accumulates fp32 internally, and requesting
+    # a widened output dtype breaks the conv's transpose rule under grad
+    # (the fp32 cotangent meets the bf16 kernel in the VJP conv).
+    pref = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         xp, packed, (1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pref,
         precision=precision,
     )  # (N, H, W, 4O)
     y = y.reshape(n, h, w, 2, 2, o)

@@ -138,9 +138,14 @@ def _bench_forward(args, model, render, r224) -> None:
         out = fn(*fargs)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        outs = [fn(*fargs) for _ in range(args.iters)]
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / args.iters, outs[-1]
+        # keep only the newest output alive: the encode/decode pyramids
+        # are ~0.5 GB each at B=8, so holding all iters' outputs (as the
+        # first build of this bench did) exhausts HBM; execution is
+        # in-order, so blocking on the last call bounds them all
+        for _ in range(args.iters):
+            out = fn(*fargs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / args.iters, out
 
     dt_full, _ = timed(full, params, render, r224)
     dt_enc, feats = timed(encode, render, r224)

@@ -68,6 +68,33 @@ def test_all_versions_train(version, batch):
     assert traj[-1] < traj[2], (version, traj)
     if version >= 7:  # no BN warmup jolt: strictly below the start
         assert traj[-1] < traj[0], (version, traj)
+
+
+def test_v8_bf16_decoder_trains(batch):
+    """The PRODUCTION train config (--decoder-dtype bfloat16, the
+    train_nr default on TPU) must differentiate: the sub-pixel
+    ConvTranspose's first build requested fp32 conv output storage,
+    whose transpose rule raised on the bf16 kernel under grad — every
+    fp32/CPU test passed while the shipped default was broken
+    (caught by the on-TPU A/B, fixed in ops/subpixel.py)."""
+    gt, render, r224 = batch
+    cfg = NRModelConfig(version=8, transformer_decoder_depth=1,
+                        refine_up_depth=1, dropout_rate=0.0,
+                        decoder_dtype="bfloat16")
+    m = _model(cfg)
+    trainer = NRTrainer(m, TrainConfig(lr=1e-3, schedule="constant"),
+                        steps_per_epoch=4)
+    params, state, opt_state, rng = trainer.init(seed=0)
+    traj = []
+    for _ in range(10):  # same horizon as the fp32 v8 case above —
+        # bf16 rounding noise needs a few extra steps to descend
+        params, state, opt_state, losses, rng = trainer.train_step(
+            params, state, opt_state, gt, render, r224, rng
+        )
+        val = float(losses["combined"])
+        assert np.isfinite(val), losses
+        traj.append(val)
+    assert traj[-1] < traj[0], traj
     # inference after training (the round-1 v1-v6 crash repro: BatchNorm
     # eval needs the threaded batch_stats)
     score = m.forward(params, render, r224, state=state)

@@ -31,6 +31,32 @@ def test_function_parity_vs_flax(shape, cout):
                                atol=1e-5)
 
 
+def test_bf16_grad_through_subpixel_ct():
+    """bf16 operands must stay differentiable: the first build requested
+    fp32 output storage from the conv, whose transpose rule then paired
+    an fp32 cotangent with the bf16 kernel and raised (found by the
+    on-TPU bf16 train-step A/B — training with the sub-pixel default and
+    --decoder-dtype bfloat16 was broken, forward-only paths were not)."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, 6, 6, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, 4, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.2, (3,)).astype(np.float32))
+
+    def loss(kernel, bias, dtype):
+        y = conv_transpose_2x_subpixel(
+            x.astype(dtype), kernel.astype(dtype), bias
+        )
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_bf16 = jax.grad(loss)(k, b, jnp.bfloat16)  # raised TypeError before
+    g_f32 = jax.grad(loss)(k, b, jnp.float32)
+    assert g_bf16.dtype == k.dtype
+    np.testing.assert_allclose(np.asarray(g_bf16), np.asarray(g_f32),
+                               rtol=0.1, atol=0.5)
+
+
 def test_layer_param_tree_and_outputs_interchangeable(monkeypatch):
     """ConvTransposeLayer under either lowering: identical param tree
     (checkpoint compatibility) and identical outputs given the same
