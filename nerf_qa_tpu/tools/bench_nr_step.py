@@ -140,10 +140,16 @@ def _bench_forward(args, model, render, r224) -> None:
         t0 = time.perf_counter()
         # keep only the newest output alive: the encode/decode pyramids
         # are ~0.5 GB each at B=8, so holding all iters' outputs (as the
-        # first build of this bench did) exhausts HBM; execution is
-        # in-order, so blocking on the last call bounds them all
-        for _ in range(args.iters):
+        # first build of this bench did) exhausts HBM. Additionally
+        # bound the number of IN-FLIGHT executions: dispatching all
+        # iters unsynced OOMed the standalone encode at B=32 (~2 GB of
+        # pyramid per queued execution). A sync every 4 iters costs one
+        # ~30 ms tunnel round-trip against ≥250 ms stage times at that
+        # batch (<3% inflation) and keeps ≤4 outputs resident.
+        for i in range(args.iters):
             out = fn(*fargs)
+            if (i + 1) % 4 == 0:
+                jax.block_until_ready(out)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / args.iters, out
 

@@ -28,8 +28,10 @@ Response:        {"id", "frames": N, "dists": mean, "dists_frames": [...]}
 
 --data-parallel shards DISTS and ADISTS request batches over ALL visible
 devices (a jax.sharding data mesh; gradient-free scoring scales linearly
-over ICI). No-reference (NR) requests run on the default device — NR
-serving throughput scales by batch size, not device count (PARITY.md).
+over ICI). No-reference (NR) requests run on the default device; the NR
+forward is compute-saturated by batch 8 on a v5e (43.0 fr/s at B=8 vs
+42.7 at B=16, PARITY.md) — larger --batch-size only adds NR latency,
+though it still helps the DISTS/ADISTS paths.
 --spatial N additionally shards frame HEIGHT N-ways for full-resolution
 scoring — both DISTS and ADISTS (parallel/spatial.py halo-exchange
 pyramid; ADISTS resharding to channel-sharded windowed statistics).
