@@ -171,6 +171,10 @@ def main(argv=None) -> int:
     pretrained.add_backbone_args(p)
     args = p.parse_args(argv)
 
+    from nerf_qa_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax.numpy as jnp
 
     from nerf_qa_tpu.config import ADISTSConfig, DISTSConfig

@@ -361,6 +361,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # warm restarts: persistent XLA cache makes the service's startup
+    # compiles (the dominant cold-start cost) second-scale after the
+    # first launch (utils/compilation_cache; NERF_QA_TPU_COMPILE_CACHE=0
+    # to disable)
+    from nerf_qa_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from nerf_qa_tpu.compat.pretrained import (
         resolve_dists_weights,
         resolve_vgg_params,

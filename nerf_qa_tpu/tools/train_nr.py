@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # preemption-resume restarts skip the >10-min full-size recompiles
+    from nerf_qa_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     # multi-host (pod): no-op on a single host; when a coordinator is
     # configured, each host decodes only its slice of the frame stream
     from nerf_qa_tpu.parallel.distributed import (
