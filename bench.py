@@ -23,6 +23,11 @@ import numpy as np
 
 
 def main() -> None:
+    # compile time is not part of any measured number; cache repeat runs
+    from nerf_qa_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -11,6 +11,9 @@ import os
 # Set NERF_QA_TPU_TESTS=1 to run the suite on real hardware instead.
 if not os.environ.get("NERF_QA_TPU_TESTS"):
     os.environ["JAX_PLATFORMS"] = "cpu"
+# hermetic: CLI mains under test must not write the user's persistent
+# XLA cache (tests of the cache itself monkeypatch this explicitly)
+os.environ.setdefault("NERF_QA_TPU_COMPILE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
