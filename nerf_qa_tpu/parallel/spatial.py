@@ -98,15 +98,40 @@ def _l2pool_spatial(x, axis_name: str, nd: int, precision) -> jax.Array:
 
 def _pyramid_spatial(params, x, axis_name: str, nd: int, compute_dtype,
                      precision) -> list[jax.Array]:
-    """vgg16_pyramid with halo-exchanged convs/pools (slab-local NHWC)."""
+    """vgg16_pyramid with halo-exchanged convs/pools (slab-local NHWC).
+
+    Within a stage, every conv after the first has identical
+    (C->C, H, W) shapes, so those layers run under one ``lax.scan`` over
+    stacked weights — the compiled program carries one conv body per
+    stage instead of the fully unrolled 13 (a large cut in SPMD
+    partitioning/compile time for the multichip dry-run; numerics are
+    identical, the same ops in the same order).
+    """
     feats = [x.astype(compute_dtype)]
     h = normalize_imagenet(x.astype(jnp.float32))
     for si in range(5):
         if si > 0:
             h = _l2pool_spatial(h, axis_name, nd, precision)
-        for layer in params[f"stage{si + 1}"]:
-            h = _conv_relu_spatial(h, layer["kernel"], layer["bias"],
+        layers = params[f"stage{si + 1}"]
+        h = _conv_relu_spatial(h, layers[0]["kernel"], layers[0]["bias"],
+                               axis_name, nd, compute_dtype, precision)
+        rest = layers[1:]
+        if len(rest) == 1:
+            h = _conv_relu_spatial(h, rest[0]["kernel"], rest[0]["bias"],
                                    axis_name, nd, compute_dtype, precision)
+        elif rest:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *rest
+            )
+
+            def body(carry, lw):
+                out = _conv_relu_spatial(
+                    carry, lw["kernel"], lw["bias"],
+                    axis_name, nd, compute_dtype, precision,
+                )
+                return out, None
+
+            h, _ = jax.lax.scan(body, h, stacked)
         feats.append(h)
     return feats
 
@@ -151,18 +176,21 @@ def spatial_dists_forward(vgg_params, weights: dists.DISTSWeights,
         counts.append((hh // s) * (ww // s))
 
     def run(params, w, xs, ys):
-        feats_x = _pyramid_spatial(params, xs, MODEL_AXIS, nd,
-                                   compute_dtype, precision)
-        feats_y = _pyramid_spatial(params, ys, MODEL_AXIS, nd,
-                                   compute_dtype, precision)
+        # one pyramid over concat([x, y]) halves the compiled program
+        # vs two pyramid instantiations (same trick as spatial ADISTS)
+        nl = xs.shape[0]
+        both = _pyramid_spatial(
+            params, jnp.concatenate([xs, ys], axis=0),
+            MODEL_AXIS, nd, compute_dtype, precision,
+        )
         local = jnp.concatenate(
-            [_partial_sums(fx, fy) for fx, fy in zip(feats_x, feats_y)],
+            [_partial_sums(f[:nl], f[nl:]) for f in both],
             axis=-1,
         )  # (5, n_local, 1475)
         total = jax.lax.psum(local, MODEL_AXIS)
         inv = jnp.concatenate([
             jnp.full((c,), 1.0 / cnt, jnp.float32)
-            for cnt, c in zip(counts, [f.shape[-1] for f in feats_x])
+            for cnt, c in zip(counts, [f.shape[-1] for f in both])
         ])
         sum_x, sum_y, sum_x2, sum_y2, sum_xy = total
         mean_x = sum_x * inv
