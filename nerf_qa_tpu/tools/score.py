@@ -98,21 +98,30 @@ class NRScorer:
         )
         self.batch_size = args.batch_size
 
-    def score_frames(self, frames: np.ndarray) -> np.ndarray:
-        """Per-frame NR scores for full-size float frames (N,H,W,3)."""
+    def prep_frames(self, frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Host resize to the model's fixed (256², 224²) inputs — shapes
+        become request-size-independent, so frames from different
+        requests can share device batches (serve.FrameBatcher)."""
         from nerf_qa_tpu.data.imaging import resize_image
-        from nerf_qa_tpu.eval.video_scorer import batched_map
 
         r256 = np.stack([resize_image(f, 256, 256) for f in frames])
         r224 = np.stack([resize_image(f, 224, 224) for f in frames])
+        return r256, r224
+
+    def step_batch(self, r256, r224):
+        """One fixed-shape device step over prepped frames."""
+        return self._step(self.params, self.state, r256, r224)
+
+    def score_frames(self, frames: np.ndarray) -> np.ndarray:
+        """Per-frame NR scores for full-size float frames (N,H,W,3)."""
+        from nerf_qa_tpu.eval.video_scorer import batched_map
+
+        r256, r224 = self.prep_frames(frames)
         # Always run the full compiled batch shape (batched_map pads the
         # ragged tail by repeating the last row): clamping to len(frames)
         # would trigger a fresh XLA compile per distinct request size in
         # the serve daemon, stalling the device lock for tens of seconds.
-        return batched_map(
-            lambda a, b: self._step(self.params, self.state, a, b),
-            (r256, r224), self.batch_size,
-        )
+        return batched_map(self.step_batch, (r256, r224), self.batch_size)
 
 
 def _score_nr(args, vgg) -> int:

@@ -12,9 +12,18 @@ Two transports, both line-oriented JSON so any client can drive them:
 * ``--stdio``: read one JSON request per stdin line, write one JSON
   response per stdout line (the subprocess/sidecar integration mode).
 * ``--http PORT``: ThreadingHTTPServer with POST /score (same request
-  schema, a JSON object or list of them) and GET /healthz (liveness +
-  throughput counters). Device work is serialized by a lock; decode and
-  HTTP parsing run in the request threads.
+  schema, a JSON object or list of them) and GET /healthz (liveness,
+  throughput counters, request-latency p50/p95, queue depth). Decode and
+  HTTP parsing run in the request threads; device work funnels through
+  per-path FrameBatchers (below).
+
+Cross-request dynamic batching: frames from CONCURRENT requests coalesce
+into shared fixed-shape device batches (one dispatcher thread per metric
+path drains a queue into batches of exactly --batch-size frames, pads
+only when the queue runs dry, and scatters per-frame scores back to the
+waiting requests). N clients x small requests therefore run at the
+B-efficient device rate instead of one serialized step per request;
+/healthz's device_steps < requests is the proof it engaged.
 
 Request schema:  {"id": any, "dist": path, "ref": path}
   ``dist``/``ref``: image file, frame directory, or mp4 (MJPEG mp4s
@@ -44,12 +53,143 @@ Example:
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import sys
 import threading
 import time
 
 import numpy as np
+
+
+class FrameBatcher:
+    """Cross-request dynamic batching for one scoring path.
+
+    Requests enqueue per-frame input arrays and block; a single
+    dispatcher thread drains the queue into fixed-shape batches of
+    exactly ``batch_size`` frames (splitting large requests, coalescing
+    concurrent small ones, padding by repeating the last row only when
+    the queue runs dry), runs one device step per batch under the shared
+    ``device_lock``, and scatters the per-frame scores back. No batching
+    window is imposed: an idle device dispatches a lone request
+    immediately (latency-first), while a busy device naturally
+    accumulates arrivals into full batches (throughput under load).
+
+    Inputs of different frame shapes (--full-size mode) never mix: the
+    queue is keyed by the non-batch shape tuple.
+    """
+
+    def __init__(self, step_fn, batch_size: int, device_lock,
+                 name: str = "path"):
+        self.step_fn = step_fn
+        self.batch_size = int(batch_size)
+        self.device_lock = device_lock
+        self.name = name
+        self._cond = threading.Condition()
+        self._queues: dict[tuple, collections.deque] = {}
+        self.device_steps = 0
+        self.frames_stepped = 0  # real (unpadded) frames
+        self.device_s = 0.0
+        self._stopped = False
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name=f"batcher-{name}"
+        )
+        self._thread.start()
+
+    def queue_depth(self) -> int:
+        with self._cond:
+            return sum(e["n"] - e["taken"]
+                       for q in self._queues.values() for e in q)
+
+    def score(self, *arrays: np.ndarray) -> np.ndarray:
+        """Blockingly score N frames (equal-length input arrays);
+        returns (N,) float32 per-frame scores."""
+        n = int(arrays[0].shape[0])
+        entry = {
+            "arrays": arrays, "n": n, "taken": 0,
+            "out": np.empty((n,), np.float32), "filled": 0,
+            "event": threading.Event(), "error": None,
+        }
+        key = tuple(a.shape[1:] for a in arrays)
+        with self._cond:
+            if self._stopped:
+                raise RuntimeError(f"batcher {self.name} is stopped")
+            self._queues.setdefault(key, collections.deque()).append(entry)
+            self._cond.notify()
+        entry["event"].wait()
+        if entry["error"] is not None:
+            raise entry["error"]
+        return entry["out"]
+
+    def stop(self) -> None:
+        with self._cond:
+            self._stopped = True
+            self._cond.notify_all()
+        self._thread.join(timeout=10)
+
+    # -- dispatcher --------------------------------------------------------
+    def _take_batch(self):
+        """(entry, start, count) slices totalling <= batch_size frames of
+        one shape key. Caller holds the condition."""
+        key = next(
+            (k for k, q in self._queues.items() if q), None
+        )
+        if key is None:
+            return []
+        q = self._queues[key]
+        takers, space = [], self.batch_size
+        while q and space > 0:
+            e = q[0]
+            take = min(space, e["n"] - e["taken"])
+            takers.append((e, e["taken"], take))
+            e["taken"] += take
+            space -= take
+            if e["taken"] == e["n"]:
+                q.popleft()
+        return takers
+
+    def _loop(self) -> None:
+        while True:
+            with self._cond:
+                while not self._stopped and not any(self._queues.values()):
+                    self._cond.wait()
+                if self._stopped and not any(self._queues.values()):
+                    return
+                takers = self._take_batch()
+            if not takers:
+                continue
+            n_in = len(takers[0][0]["arrays"])
+            batch = []
+            real = sum(t for _, _, t in takers)
+            for i in range(n_in):
+                parts = [e["arrays"][i][s:s + t] for e, s, t in takers]
+                b = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                if real < self.batch_size:
+                    b = np.concatenate(
+                        [b, np.repeat(b[-1:], self.batch_size - real, 0)]
+                    )
+                batch.append(b)
+            err = None
+            try:
+                t0 = time.perf_counter()
+                with self.device_lock:
+                    scores = np.asarray(self.step_fn(*batch))[:real]
+                self.device_s += time.perf_counter() - t0
+                self.device_steps += 1
+                self.frames_stepped += real
+            except Exception as e:  # poison only the affected requests
+                err = e
+            off = 0
+            with self._cond:
+                for e, s, t in takers:
+                    if err is None:
+                        e["out"][s:s + t] = scores[off:off + t]
+                    else:
+                        e["error"] = err
+                    off += t
+                    e["filled"] += t
+                    if e["filled"] == e["n"] or err is not None:
+                        e["event"].set()
 
 
 class ScoringService:
@@ -163,10 +303,30 @@ class ScoringService:
                                           as_loss=False)
 
                 self._adists_step = astep
-        self._lock = threading.Lock()  # one device, one queue
+        # one device: every path's dispatcher serializes its steps here
+        self._device_lock = threading.Lock()
+        self._counter_lock = threading.Lock()
+        self.batchers: dict[str, FrameBatcher] = {}
+        if self.scorer is not None:
+            bs = self.batch_size
+            if mesh is not None:
+                from nerf_qa_tpu.parallel import mesh as meshlib
+
+                bs = meshlib.pad_to_multiple(
+                    bs, mesh.shape[meshlib.DATA_AXIS])
+            self.batchers["dists"] = FrameBatcher(
+                self.scorer.score_batch, bs, self._device_lock, "dists")
+        if self._adists_step is not None:
+            self.batchers["adists"] = FrameBatcher(
+                self._adists_step, self._adists_bs, self._device_lock,
+                "adists")
+        if self.nr_scorer is not None:
+            self.batchers["nr"] = FrameBatcher(
+                self.nr_scorer.step_batch, self.nr_scorer.batch_size,
+                self._device_lock, "nr")
         self.n_requests = 0
         self.n_frames = 0
-        self.device_s = 0.0
+        self._latencies = collections.deque(maxlen=1000)
         self.started = time.time()
 
     # -- device work -----------------------------------------------------
@@ -178,32 +338,35 @@ class ScoringService:
         if self.nr_scorer is not None:
             # NR shapes are input-size-independent (host resize to
             # 256/224), so one zero batch compiles the whole path
-            self.nr_scorer.score_frames(
-                np.zeros((self.batch_size, 64, 64, 3), np.float32))
-        self.n_requests = 0
-        self.n_frames = 0
-        self.device_s = 0.0
+            self.batchers["nr"].score(*self.nr_scorer.prep_frames(
+                np.zeros((self.batch_size, 64, 64, 3), np.float32)))
+        with self._counter_lock:
+            self.n_requests = 0
+            self.n_frames = 0
+            self._latencies.clear()
+        for b in self.batchers.values():
+            b.device_steps = 0
+            b.frames_stepped = 0
+            b.device_s = 0.0
 
-    def _adists_frames(self, dist: np.ndarray, ref: np.ndarray) -> np.ndarray:
-        from nerf_qa_tpu.eval.video_scorer import batched_map
-
-        return batched_map(self._adists_step, (dist, ref), self._adists_bs)
+    def _count(self, n_frames: int, latency_s: float) -> None:
+        with self._counter_lock:
+            self.n_frames += n_frames
+            self.n_requests += 1
+            self._latencies.append(latency_s)
 
     def _score_arrays(self, dist: np.ndarray, ref: np.ndarray) -> dict:
         out: dict = {"frames": int(dist.shape[0])}
-        with self._lock:
-            t0 = time.perf_counter()
-            if self.scorer is not None:
-                s = self.scorer.score_frames(dist, ref, self.batch_size)
-                out["dists"] = float(s.mean())
-                out["dists_frames"] = [float(v) for v in s]
-            if self._adists_step is not None:
-                s = self._adists_frames(dist, ref)
-                out["adists"] = float(s.mean())
-                out["adists_frames"] = [float(v) for v in s]
-            self.device_s += time.perf_counter() - t0
-            self.n_frames += int(dist.shape[0])
-            self.n_requests += 1
+        t0 = time.perf_counter()
+        if "dists" in self.batchers:
+            s = self.batchers["dists"].score(dist, ref)
+            out["dists"] = float(s.mean())
+            out["dists_frames"] = [float(v) for v in s]
+        if "adists" in self.batchers:
+            s = self.batchers["adists"].score(dist, ref)
+            out["adists"] = float(s.mean())
+            out["adists_frames"] = [float(v) for v in s]
+        self._count(int(dist.shape[0]), time.perf_counter() - t0)
         return out
 
     # -- request handling ------------------------------------------------
@@ -224,12 +387,10 @@ class ScoringService:
                     )
                 frames = _load_frames(str(req["dist"]), resize=False,
                                       keep_aspect=False)
-                with self._lock:
-                    t0 = time.perf_counter()
-                    s = self.nr_scorer.score_frames(frames)
-                    self.device_s += time.perf_counter() - t0
-                    self.n_frames += len(s)
-                    self.n_requests += 1
+                t0 = time.perf_counter()
+                s = self.batchers["nr"].score(
+                    *self.nr_scorer.prep_frames(frames))
+                self._count(len(s), time.perf_counter() - t0)
                 return {"id": rid, "frames": len(s),
                         "nr": float(s.mean()),
                         "nr_frames": [float(v) for v in s]}
@@ -251,13 +412,30 @@ class ScoringService:
 
     def stats(self) -> dict:
         up = time.time() - self.started
+        with self._counter_lock:
+            lat = sorted(self._latencies)
+            n_req, n_fr = self.n_requests, self.n_frames
+        device_s = sum(b.device_s for b in self.batchers.values())
+        device_steps = sum(b.device_steps for b in self.batchers.values())
+
+        def pct(p):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1,
+                                 int(p / 100.0 * len(lat)))] * 1e3, 2)
+
         return {
             "ok": True,
             "uptime_s": round(up, 1),
-            "requests": self.n_requests,
-            "frames": self.n_frames,
-            "device_fps": round(self.n_frames / self.device_s, 2)
-            if self.device_s else None,
+            "requests": n_req,
+            "frames": n_fr,
+            # device_steps < requests proves cross-request batching engaged
+            "device_steps": device_steps,
+            "queue_depth": sum(b.queue_depth()
+                               for b in self.batchers.values()),
+            "latency_ms_p50": pct(50),
+            "latency_ms_p95": pct(95),
+            "device_fps": round(n_fr / device_s, 2) if device_s else None,
         }
 
 
