@@ -1,0 +1,71 @@
+"""Two-process jax.distributed multi-host test (VERDICT r3 item 6).
+
+Spawns 2 local CPU processes (2 virtual devices each -> a 4-device
+global mesh), runs one data-parallel FR train step through
+``parallel.distributed.maybe_initialize`` + ``HostShardedSampler``, and
+asserts both hosts end with bit-identical parameters (the gradient
+all-reduce crossed the process boundary correctly) and disjoint,
+covering input shards."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_fr_dp_step(tmp_path):
+    port = _free_port()
+    base = os.environ.copy()
+    base["JAX_PLATFORMS"] = "cpu"
+    base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    base["COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    base["NUM_PROCESSES"] = "2"
+    # shared warm cache would hide nothing here; keep hermetic
+    base["NERF_QA_TPU_COMPILE_CACHE"] = "0"
+    procs = []
+    for i in range(2):
+        env = dict(base, PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), (
+        f"worker rcs {[p.returncode for p in procs]}\n"
+        f"--- host0 ---\n{outs[0]}\n--- host1 ---\n{outs[1]}"
+    )
+
+    def lines(out, tag):
+        return [l for l in out.splitlines() if l.startswith(tag)]
+
+    shard0 = eval(lines(outs[0], "SHARD 0 ")[0].split(" ", 2)[2])
+    shard1 = eval(lines(outs[1], "SHARD 1 ")[0].split(" ", 2)[2])
+    assert set(shard0).isdisjoint(shard1)
+    assert sorted(shard0 + shard1) == [0, 1, 2, 3]
+
+    # identical replicated state on both hosts, printed leaf by leaf
+    assert lines(outs[0], "LOSS") == lines(outs[1], "LOSS"), outs
+    p0, p1 = lines(outs[0], "PARAMS"), lines(outs[1], "PARAMS")
+    assert p0 and p0 == p1, (
+        f"params diverged across hosts:\n{p0}\nvs\n{p1}"
+    )
