@@ -35,6 +35,7 @@ ENV_VGG = "NERF_QA_VGG_CKPT"
 ENV_DISTS = "NERF_QA_DISTS_WEIGHTS"
 ENV_VIT = "NERF_QA_VIT_CKPT"
 ENV_JBU = "NERF_QA_JBU_CKPT"
+ENV_LPIPS = "NERF_QA_LPIPS_CKPT"
 
 
 def add_backbone_args(parser) -> None:
@@ -113,6 +114,24 @@ def resolve_vit_params(path: str | None = None, depth: int = 12,
     _warn(
         "no DINOv2 checkpoint (--vit-ckpt / $" + ENV_VIT + ") — the NR "
         "semantic encoder uses RANDOM weights."
+    )
+    return None
+
+
+def resolve_lpips_weights(path: str | None = None):
+    """LPIPS learned ``lin`` weights (eval.iqa.lpips); None -> uniform
+    1/C fallback inside lpips() with a warning here."""
+    path = path or os.environ.get(ENV_LPIPS)
+    if path:
+        import torch
+
+        from nerf_qa_tpu.compat.torch_weights import convert_lpips_lin
+
+        return convert_lpips_lin(
+            torch.load(path, map_location="cpu", weights_only=False))
+    _warn(
+        "no LPIPS checkpoint (--lpips-ckpt / $" + ENV_LPIPS + ") — LPIPS "
+        "uses uniform channel weights (uncalibrated)."
     )
     return None
 

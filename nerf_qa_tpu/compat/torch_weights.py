@@ -34,6 +34,22 @@ def convert_alpha_beta(weights: Mapping[str, Any]) -> dict[str, np.ndarray]:
     return {"alpha": alpha, "beta": beta}
 
 
+def convert_lpips_lin(state_dict: Mapping[str, Any]) -> list[np.ndarray]:
+    """Official lpips (Zhang 2018) checkpoint -> 5 per-channel weight
+    vectors. The ``vgg.pth`` from richzhang/PerceptualSimilarity stores
+    ``lin{k}.model.1.weight`` 1x1 convs of shape (1, C_k, 1, 1)."""
+    out = []
+    for k in range(5):
+        for key in (f"lin{k}.model.1.weight", f"lins.{k}.model.1.weight"):
+            if key in state_dict:
+                out.append(_to_numpy(state_dict[key]).reshape(-1)
+                           .astype(np.float32))
+                break
+        else:
+            raise KeyError(f"lpips lin{k} weight not found")
+    return out
+
+
 def convert_vgg16_features(state_dict: Mapping[str, Any]):
     """torchvision ``vgg16().features.state_dict()`` -> pyramid params.
 

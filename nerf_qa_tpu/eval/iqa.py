@@ -1,14 +1,20 @@
-"""Classical IQA metrics: PSNR, SSIM, MS-SSIM (batched, TPU-jittable).
+"""Classical IQA metrics: PSNR, SSIM, MS-SSIM, LPIPS (batched, jittable).
 
 The reference's prep/analysis compare DISTS against SSIM/PSNR/LPIPS/...
 columns shipped inside its score CSVs (prep.py:344-394,
 results_table*.tex competitor rows). Those columns came from external
-tools; this module computes the classical ones natively so the full
-comparison pipeline is self-contained.
+tools; this module computes them natively so the full comparison
+pipeline is self-contained.
 
 SSIM follows Wang et al. 2004: 11x11 Gaussian window (sigma 1.5),
 K1=0.01, K2=0.03, applied per channel and averaged. MS-SSIM uses the
-standard 5-scale weights.
+standard 5-scale weights. LPIPS follows Zhang et al. 2018 (vgg variant):
+scaling layer, MAX-pool VGG16 pyramid (relu{1_2,2_2,3_3,4_3,5_3}),
+unit-normalized features, learned per-channel linear weights, spatial
+mean, stage sum — the learned 1x1 ``lin`` weights convert from the
+official lpips checkpoint (compat.pretrained.resolve_lpips_weights);
+without a checkpoint they fall back to uniform 1/C with a warning
+(structure-identical, calibration-meaningless).
 """
 from __future__ import annotations
 
@@ -82,6 +88,55 @@ def _downsample2(x: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     x = x[:, : h // 2 * 2, : w // 2 * 2]
     return x.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+_LPIPS_SHIFT = (-0.030, -0.088, -0.188)  # lpips ScalingLayer constants
+_LPIPS_SCALE = (0.458, 0.448, 0.450)
+LPIPS_STAGE_CHANNELS = (64, 128, 256, 512, 512)
+
+
+def _lpips_pyramid(vgg_params, x: jax.Array) -> list[jax.Array]:
+    """LPIPS's backbone: the STANDARD max-pool VGG16 (torchvision
+    features), not DISTS's L2-pool variant — same conv params, 2x2 max
+    pooling between stages."""
+    from nerf_qa_tpu.core.vgg import _conv_relu
+
+    h = (x.astype(jnp.float32) * 2.0 - 1.0
+         - jnp.asarray(_LPIPS_SHIFT)) / jnp.asarray(_LPIPS_SCALE)
+    feats = []
+    for si in range(5):
+        if si > 0:
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+            )
+        for layer in vgg_params[f"stage{si + 1}"]:
+            h = _conv_relu(h, layer["kernel"], layer["bias"], jnp.float32)
+        feats.append(h)
+    return feats
+
+
+def lpips(vgg_params, x: jax.Array, y: jax.Array,
+          lin_weights=None) -> jax.Array:
+    """Per-image LPIPS (vgg variant, Zhang et al. 2018) over NHWC [0,1]
+    batches. ``lin_weights``: list of 5 per-channel (C_k,) arrays (the
+    checkpoint's ``lin{k}.model.1.weight`` squeezed); None -> uniform
+    1/C_k (uncalibrated)."""
+    fx = _lpips_pyramid(vgg_params, x)
+    fy = _lpips_pyramid(vgg_params, y)
+    if lin_weights is None:
+        lin_weights = [jnp.full((c,), 1.0 / c, jnp.float32)
+                       for c in LPIPS_STAGE_CHANNELS]
+    total = 0.0
+    for fa, fb, w in zip(fx, fy, lin_weights):
+        na = fa / jnp.sqrt(
+            jnp.sum(jnp.square(fa), axis=-1, keepdims=True) + 1e-10)
+        nb = fb / jnp.sqrt(
+            jnp.sum(jnp.square(fb), axis=-1, keepdims=True) + 1e-10)
+        d = jnp.square(na - nb)  # (N, H, W, C)
+        total = total + jnp.mean(
+            jnp.sum(d * jnp.asarray(w, jnp.float32), axis=-1), axis=(1, 2))
+    return total
 
 
 def ms_ssim(x: jax.Array, y: jax.Array, max_val: float = 1.0,

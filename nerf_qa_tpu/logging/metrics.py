@@ -114,6 +114,21 @@ class MetricCollectionLogger:
             }
         return video_averages, unique_videos, scene_of_video
 
+    def per_scene_figure(self, x_key: str = "pred_score",
+                         y_key: str = "mos") -> dict:
+        """Plotly-schema per-scene regression figure of the current
+        accumulation (logger.py:36-59,207 — the figure the reference
+        logged to wandb on every eval pass). Pure JSON dict; see
+        logging/figures.py for sinks."""
+        from nerf_qa_tpu.logging.figures import per_scene_regression_figure
+
+        video_averages, _, scene_of_video = self._video_averages()
+        return per_scene_regression_figure(
+            video_averages.get(x_key, {}), video_averages.get(y_key, {}),
+            scene_of_video, x_title=x_key, y_title=y_key,
+            title=f"{self.collection_name}: per-scene regression",
+        )
+
     def video_metrics_df(self) -> pd.DataFrame:
         """Per-video metric means as a DataFrame (logger.py:104-141),
         the results.csv export path."""

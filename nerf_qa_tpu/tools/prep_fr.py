@@ -49,7 +49,8 @@ class PairScorer:
     """Shape-bucketed jitted DISTS/ADISTS pair scorer."""
 
     def __init__(self, compute_dtype="bfloat16", with_adists=True,
-                 vgg_ckpt=None, dists_weights=None):
+                 vgg_ckpt=None, dists_weights=None, iqa_metrics=(),
+                 lpips_ckpt=None):
         import jax
 
         self.dcfg = DISTSConfig(compute_dtype=compute_dtype)
@@ -69,6 +70,27 @@ class PairScorer:
 
         self._d = d_score
         self._a = a_score
+        # comparison-metric columns (prep.py:344-394's PSNR/SSIM/LPIPS
+        # correlation table inputs), computed natively (eval.iqa)
+        self._iqa = {}
+        if iqa_metrics:
+            from nerf_qa_tpu.compat.pretrained import resolve_lpips_weights
+            from nerf_qa_tpu.eval import iqa
+
+            for name in iqa_metrics:
+                if name == "psnr":
+                    self._iqa["PSNR"] = jax.jit(iqa.psnr)
+                elif name == "ssim":
+                    self._iqa["SSIM"] = jax.jit(iqa.ssim)
+                elif name == "ms-ssim":
+                    self._iqa["MS-SSIM"] = jax.jit(iqa.ms_ssim)
+                elif name == "lpips":
+                    lin = resolve_lpips_weights(lpips_ckpt)
+                    self._iqa["LPIPS"] = jax.jit(
+                        lambda x, y, _lin=lin: iqa.lpips(
+                            self.vgg_params, x, y, _lin))
+                else:
+                    raise SystemExit(f"unknown --iqa metric {name!r}")
 
     def score_pairs(self, ref: np.ndarray, render: np.ndarray):
         import jax.numpy as jnp
@@ -78,6 +100,8 @@ class PairScorer:
         out = {"DISTS": np.asarray(self._d(d, r))}
         if self.with_adists:
             out["ADISTS"] = np.asarray(self._a(r, d))
+        for key, fn in self._iqa.items():
+            out[key] = np.asarray(fn(d, r))
         return out
 
 
@@ -119,13 +143,25 @@ def main(argv=None):
     p.add_argument("--no-adists", action="store_true")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--output-csv", default=None)
+    p.add_argument("--iqa", default="",
+                   help="comma-separated comparison-metric columns to add "
+                        "(psnr,ssim,ms-ssim,lpips) — the reference "
+                        "consumed these from external CSVs "
+                        "(prep.py:344-394); computed natively here")
+    p.add_argument("--lpips-ckpt", default=None,
+                   help="official lpips vgg.pth lin weights "
+                        "($NERF_QA_LPIPS_CKPT); without it LPIPS uses "
+                        "uniform channel weights")
     add_backbone_args(p)
     args = p.parse_args(argv)
 
     df = pd.read_csv(args.scores_csv)
     scorer = PairScorer(args.compute_dtype, with_adists=not args.no_adists,
                         vgg_ckpt=args.vgg_ckpt,
-                        dists_weights=args.dists_weights)
+                        dists_weights=args.dists_weights,
+                        iqa_metrics=tuple(
+                            m for m in args.iqa.split(",") if m),
+                        lpips_ckpt=args.lpips_ckpt)
     rows = []
     for _, row in df.iterrows():
         ref_dir = os.path.join(args.data_dir, "Reference", row["reference_folder"])

@@ -78,3 +78,44 @@ def test_ms_ssim_orders_distortions():
     harsh = jnp.clip(x + jnp.asarray(
         rng.normal(0, 0.2, x.shape).astype(np.float32)), 0, 1)
     assert float(ms_ssim(x, mild)[0]) > float(ms_ssim(x, harsh)[0])
+
+
+def test_lpips_identical_is_zero_and_orders_distortions():
+    from nerf_qa_tpu.core.vgg import init_vgg16_params
+    from nerf_qa_tpu.eval.iqa import lpips
+
+    vgg = init_vgg16_params(seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    mild = jnp.clip(x + 0.03, 0, 1)
+    harsh = jnp.clip(x + 0.2, 0, 1)
+    np.testing.assert_allclose(np.asarray(lpips(vgg, x, x)), 0.0, atol=1e-5)
+    lm = np.asarray(lpips(vgg, x, mild))
+    lh = np.asarray(lpips(vgg, x, harsh))
+    assert (lm > 0).all() and (lh > lm).all(), (lm, lh)
+
+
+def test_lpips_lin_weight_converter():
+    """Official lpips vgg.pth layout -> per-stage channel vectors, and
+    the converted weights actually recalibrate the score."""
+    torch = pytest.importorskip("torch")
+
+    from nerf_qa_tpu.compat.torch_weights import convert_lpips_lin
+    from nerf_qa_tpu.core.vgg import init_vgg16_params
+    from nerf_qa_tpu.eval.iqa import LPIPS_STAGE_CHANNELS, lpips
+
+    rng = np.random.default_rng(1)
+    sd = {
+        f"lin{k}.model.1.weight": torch.from_numpy(
+            rng.uniform(0, 0.1, (1, c, 1, 1)).astype(np.float32))
+        for k, c in enumerate(LPIPS_STAGE_CHANNELS)
+    }
+    lin = convert_lpips_lin(sd)
+    assert [w.shape for w in lin] == [(c,) for c in LPIPS_STAGE_CHANNELS]
+
+    vgg = init_vgg16_params(seed=0)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    y = jnp.clip(x + 0.1, 0, 1)
+    uniform = float(np.asarray(lpips(vgg, x, y))[0])
+    weighted = float(np.asarray(lpips(vgg, x, y, lin))[0])
+    assert np.isfinite(weighted) and abs(weighted - uniform) > 1e-6
