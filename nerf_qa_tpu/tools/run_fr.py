@@ -107,7 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "gradients, epochs cost ~nothing. Valid for "
                         "deterministic datasets (test2/large); ignored "
                         "with --dataset nerf-qa-resized (random crops "
-                        "change the features every epoch)")
+                        "change the features every epoch). Cached "
+                        "moments are always fp32: with --compute-dtype "
+                        "bfloat16 the cached path scores in fp32 from "
+                        "bf16 pyramids (slightly more accurate than the "
+                        "end-to-end bf16 image path)")
     add_backbone_args(p)
     return p
 
@@ -236,10 +240,16 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
         if cache is not None:
             from nerf_qa_tpu.core import dists as dists_core
 
-            frame_scores = np.asarray(dists_core.score_from_stats(
-                cache["stats"].transpose(1, 0, 2),
-                trainer.original_weights, model_cfg.dists,
-            ))
+            # chunk over frames: the full (5, N, 1475) fp32 cache plus
+            # its elementwise intermediates would OOM HBM at large N
+            chunk = max(1, args.batch_size)
+            frame_scores = np.concatenate([
+                np.asarray(dists_core.score_from_stats(
+                    cache["stats"][i:i + chunk].transpose(1, 0, 2),
+                    trainer.original_weights, model_cfg.dists,
+                ))
+                for i in range(0, len(cache["stats"]), chunk)
+            ])
             per_video = {
                 int(v): float(np.mean(frame_scores[cache["video_ids"] == v]))
                 for v in np.unique(cache["video_ids"])
@@ -267,7 +277,11 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
             sampler = train_loader.sampler
             if hasattr(sampler, "set_epoch"):
                 sampler.set_epoch(epoch)
-            order = (np.fromiter(iter(sampler), np.int64)
+            # flatten defensively: batch samplers (e.g.
+            # ComputeBatchSampler) yield index LISTS, not scalars
+            order = (np.concatenate(
+                        [np.atleast_1d(b) for b in sampler]
+                     ).astype(np.int64)
                      if sampler is not None
                      else rng.permutation(len(cache["targets"])))
             with record_function("train_epoch"):
@@ -343,6 +357,20 @@ def run_fold(args, fold: int, train_df, test_df, run_dir: str):
         results_path = os.path.join(run_dir, f"results_{fold}.csv")
         results_df.to_csv(results_path)
         log_artifact(results_path, type="results")
+        # per-scene regression figure (logger.py:207): plotly-schema
+        # JSON artifact; rendered live only when wandb+plotly exist
+        from nerf_qa_tpu.logging.figures import to_wandb, write_figure_json
+
+        fig = test_logger.per_scene_figure()
+        fig_path = write_figure_json(
+            fig, os.path.join(run_dir, f"regression_{fold}.plotly.json"))
+        log_artifact(fig_path, type="figure")
+        wfig = to_wandb(fig)
+        if wfig is not None and args.wandb:
+            try:
+                sink({"Test Metrics Dict/scene_regression": wfig}, step)
+            except TypeError:
+                pass  # non-wandb sink can't serialize a Plotly object
         test_logger.log_summary(step)
 
     # cross-dataset validation (run_test2.py:165-167: train Test2,

@@ -304,7 +304,15 @@ class FRTrainer:
         Valid whenever the dataset is deterministic (no per-epoch random
         crops): Test2/LargeQA frame pairs. Afterward every training epoch
         costs O(N·1475) on the α/β+head parameters instead of two VGG16
-        forward passes per pair per step."""
+        forward passes per pair per step.
+
+        Dtype note: the cached moments are stored (and the cached score
+        computed) in float32 regardless of ``cfg.compute_dtype``. With
+        --compute-dtype bfloat16 the pyramid still runs in bf16, but the
+        downstream α/β·stats math is fp32 — slightly MORE accurate than
+        the image path's end-to-end bf16 score, so the two paths diverge
+        by bf16 rounding (~1e-3), not by approximation. The fp32-config
+        parity test (tests/test_fr_cached_stats.py) covers exactness."""
         stats_parts, target_parts, vid_parts = [], [], []
         for batch in batches:
             dist_imgs, ref_imgs, targets = batch[:3]

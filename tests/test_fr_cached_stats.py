@@ -41,11 +41,16 @@ def test_cached_step_matches_image_step(trainer):
         trainer._pair_stats_step(jnp.asarray(dist), jnp.asarray(ref))
     ).transpose(1, 0, 2)  # cache layout (N, 5, 1475)
 
+    # both jitted steps donate (params, opt_state); deep-copy so the
+    # second call never touches donated buffers on the hardware tier
+    import jax
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
     p_img, o_img, loss_img, aux_img = trainer.train_step(
-        params, opt_state, dist, ref, targets
+        copy(params), copy(opt_state), dist, ref, targets
     )
     p_c, o_c, loss_c, aux_c = trainer.train_step_cached(
-        params, opt_state, stats, targets
+        copy(params), copy(opt_state), stats, targets
     )
     assert np.allclose(float(loss_img), float(loss_c), atol=1e-5)
     assert np.allclose(np.asarray(aux_img[0]), np.asarray(aux_c[0]), atol=1e-5)

@@ -68,6 +68,11 @@ def test_all_versions_train(version, batch):
     assert traj[-1] < traj[2], (version, traj)
     if version >= 7:  # no BN warmup jolt: strictly below the start
         assert traj[-1] < traj[0], (version, traj)
+    # inference after training (the round-1 v1-v6 crash repro: BatchNorm
+    # eval needs the threaded batch_stats)
+    score = m.forward(params, render, r224, state=state)
+    assert score.shape == (2,)
+    assert np.isfinite(np.asarray(score)).all(), (version, score)
 
 
 def test_v8_bf16_decoder_trains(batch):
@@ -95,8 +100,7 @@ def test_v8_bf16_decoder_trains(batch):
         assert np.isfinite(val), losses
         traj.append(val)
     assert traj[-1] < traj[0], traj
-    # inference after training (the round-1 v1-v6 crash repro: BatchNorm
-    # eval needs the threaded batch_stats)
+    # post-train inference under the bf16 decoder config
     score = m.forward(params, render, r224, state=state)
     assert score.shape == (2,)
     assert np.isfinite(np.asarray(score)).all()
