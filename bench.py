@@ -169,6 +169,19 @@ def main() -> None:
     except Exception as e:  # native lib missing etc. — keep the headline
         host = {"error": f"{type(e).__name__}: {e}"}
 
+    # the host-feed budget, stated (VERDICT r3 item 3): feeding one chip
+    # at the headline device rate from JPEG frames costs this many host
+    # decode cores. The mitigations (uint8 caches, --feature-cache, MJPEG
+    # remux, N-core hosts) exist because this number is large.
+    jpeg_percore = host.get("fps_host_decode_jpeg_t1") if isinstance(
+        host, dict) else None
+    if jpeg_percore:
+        host["host_cores_per_chip_jpeg"] = int(
+            np.ceil(fps / jpeg_percore))
+        # a pair needs TWO decoded frames; scoring N pairs/s decodes 2N
+        host["host_cores_per_chip_jpeg_pairs"] = int(
+            np.ceil(2 * fps / jpeg_percore))
+
     print(
         json.dumps(
             {

@@ -50,32 +50,42 @@ def _nr_demo(args) -> dict:
     scenes = tuple(f"scene{i:02d}" for i in range(args.scenes))
     methods = tuple(f"m{i}" for i in range(args.methods))
     csv = make_nr_tree(data_dir, scenes=scenes, methods=methods,
-                       frames=args.frames, seed=0)
+                       frames=args.frames, seed=args.seed)
     holdout = list(scenes[: max(1, args.scenes // 4)])
     train_nr_main([
         "--data-dir", data_dir, "--scores-csv", csv,
         "--output-dir", run_dir,
         "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
-        "--lr", str(args.lr),
+        "--lr", str(args.lr), "--seed", str(args.seed),
         "--holdout-scenes", *holdout,
         "--test-every", str(args.epochs),  # val pass on the last epoch
-        # small-but-valid geometry (64/16 == 56/14) + shallow ViT so the
-        # demo compiles in minutes; the driver path is the real one
-        "--render-size", "64", "--sem-size", "56", "--vit-depth", "2",
+        # default small-but-valid geometry (64/16 == 56/14) + shallow ViT
+        # compiles in minutes; --render-size 256 --sem-size 224
+        # --vit-depth 12 is the PRODUCTION-SCALE certificate config
+        "--render-size", str(args.render_size),
+        "--sem-size", str(args.sem_size),
+        "--vit-depth", str(args.vit_depth),
         "--compute-dtype", args.compute_dtype,
-        "--decoder-dtype", args.compute_dtype,
+        "--decoder-dtype", args.decoder_dtype or args.compute_dtype,
         "--num-workers", "2",
     ])
     val = {}
+    train_combined = []
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
             if any(k.startswith("Validation") for k in rec):
                 val = rec
+            if "Train Metrics Dict/combined" in rec:
+                train_combined.append(
+                    round(rec["Train Metrics Dict/combined"], 5))
     out = {
         "val_plcc": abs(round(val.get("Validation Metrics Dict/plcc", 0.0), 4)),
         "val_srcc": abs(round(val.get("Validation Metrics Dict/srcc", 0.0), 4)),
+        "val_plcc_signed": round(val.get("Validation Metrics Dict/plcc", 0.0), 4),
+        "val_srcc_signed": round(val.get("Validation Metrics Dict/srcc", 0.0), 4),
         "val_l1": round(val.get("Validation Metrics Dict/l1", -1.0), 4),
+        "train_combined": train_combined,  # per-epoch mean combined loss
         "n_videos": len(holdout) * args.methods,
     }
     print(json.dumps(out))
@@ -94,6 +104,16 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--compute-dtype", default="float32")
+    p.add_argument("--seed", type=int, default=0,
+                   help="fixture + trainer seed (multi-seed certificates)")
+    # NR geometry knobs: defaults = the minutes-scale CPU certificate;
+    # 256/224/12 (+--decoder-dtype bfloat16) = the PRODUCTION-SCALE
+    # on-TPU certificate (PARITY.md recommended config)
+    p.add_argument("--render-size", type=int, default=64)
+    p.add_argument("--sem-size", type=int, default=56)
+    p.add_argument("--vit-depth", type=int, default=2)
+    p.add_argument("--decoder-dtype", default=None,
+                   help="NR decoder dtype (default: --compute-dtype)")
     args = p.parse_args(argv)
 
     if args.kind == "nr":
@@ -114,13 +134,14 @@ def main(argv=None):
     # actual score range and stalls training (see make_fr_tree)
     csv = make_fr_tree(data_dir, scenes=scenes,
                        methods_per_scene=args.methods, frames=args.frames,
-                       seed=0, dists_col=False)
+                       seed=args.seed, dists_col=False)
 
     run_fr_main([
         "--data-dir", data_dir, "--scores-csv", csv,
         "--output-dir", run_dir,
         "--epochs", str(args.epochs), "--folds", str(args.folds),
         "--lr", str(args.lr), "--batch-size", str(args.batch_size),
+        "--seed", str(args.seed),
         "--regression-type", "logistic",
         "--compute-dtype", args.compute_dtype,
         "--cache-stats",  # frozen-VGG stats cached once per fold
