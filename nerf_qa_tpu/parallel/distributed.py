@@ -33,8 +33,11 @@ def maybe_initialize(coordinator_address: str | None = None,
         "COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return False
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NOTE: probe initialization WITHOUT jax.process_count() — that call
+    # initializes the XLA backend, after which jax.distributed.initialize
+    # refuses to run (caught by the 2-process test, tests/test_multihost.py)
+    if jax.distributed.is_initialized():
+        return True
     num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", 0))
     process_id = (process_id if process_id is not None
                   else int(os.environ.get("PROCESS_ID", 0)))

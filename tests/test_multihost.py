@@ -28,6 +28,13 @@ def _free_port() -> int:
 def test_two_process_fr_dp_step(tmp_path):
     port = _free_port()
     base = os.environ.copy()
+    # the axon TPU plugin's sitecustomize initializes the XLA backend at
+    # import, which jax.distributed.initialize forbids — strip it from
+    # the workers' PYTHONPATH (this is a pure-CPU cluster test)
+    base["PYTHONPATH"] = os.pathsep.join(
+        p for p in base.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
     base["JAX_PLATFORMS"] = "cpu"
     base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     base["COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
