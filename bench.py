@@ -181,6 +181,15 @@ def main() -> None:
         # a pair needs TWO decoded frames; scoring N pairs/s decodes 2N
         host["host_cores_per_chip_jpeg_pairs"] = int(
             np.ceil(2 * fps / jpeg_percore))
+    # same arithmetic on the DCT-scaled fast-decode feed path
+    # (NERF_QA_TPU_FAST_DECODE=1, data/native.decode_resize)
+    jpeg_fast = host.get("fps_host_decode_jpeg_fast_t1") if isinstance(
+        host, dict) else None
+    if jpeg_fast:
+        host["host_cores_per_chip_jpeg_fast"] = int(
+            np.ceil(fps / jpeg_fast))
+        host["host_cores_per_chip_jpeg_fast_pairs"] = int(
+            np.ceil(2 * fps / jpeg_fast))
 
     print(
         json.dumps(

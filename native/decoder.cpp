@@ -85,7 +85,25 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-Image decode_jpeg(const char* path) {
+// DCT-domain scaled decode: pick the largest 1/d (d in {8,4,2}) whose
+// output still covers (min_h, min_w), so the subsequent bilinear resize
+// only ever downsamples. libjpeg skips most IDCT work at reduced scale
+// (1/8 decodes DC-only) — this is the cheap path for 1080p -> 256²
+// feeds where full-resolution pixels are immediately thrown away.
+void select_dct_scale(jpeg_decompress_struct* cinfo, int min_h, int min_w) {
+  if (min_h <= 0 || min_w <= 0) return;
+  for (int d = 8; d >= 2; d /= 2) {
+    unsigned sh = (cinfo->image_height + d - 1) / d;
+    unsigned sw = (cinfo->image_width + d - 1) / d;
+    if (sh >= unsigned(min_h) && sw >= unsigned(min_w)) {
+      cinfo->scale_num = 1;
+      cinfo->scale_denom = unsigned(d);
+      return;
+    }
+  }
+}
+
+Image decode_jpeg(const char* path, int min_h = 0, int min_w = 0) {
   Image out;
   FILE* fp = fopen(path, "rb");
   if (!fp) return out;
@@ -102,6 +120,7 @@ Image decode_jpeg(const char* path) {
   jpeg_stdio_src(&cinfo, fp);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  select_dct_scale(&cinfo, min_h, min_w);
   jpeg_start_decompress(&cinfo);
   out.h = cinfo.output_height;
   out.w = cinfo.output_width;
@@ -119,12 +138,14 @@ Image decode_jpeg(const char* path) {
   return out;
 }
 
-Image decode_any(const char* path) {
+// min_h/min_w > 0 allow a DCT-scaled JPEG decode (fast feed path); PNG
+// has no scaled-decode equivalent and always decodes at full size.
+Image decode_any(const char* path, int min_h = 0, int min_w = 0) {
   size_t n = strlen(path);
   if (n >= 4 && (strcmp(path + n - 4, ".png") == 0 ||
                  strcmp(path + n - 4, ".PNG") == 0))
     return decode_png(path);
-  return decode_jpeg(path);
+  return decode_jpeg(path, min_h, min_w);
 }
 
 // RGBA -> white-composited RGB float [0,1]; RGB -> float.
@@ -252,7 +273,8 @@ ThreadPool& get_pool(int threads) {
 // codecs (avc1/hev1/...) are reported to Python, which falls back to an
 // ffmpeg backend when one exists.
 
-Image decode_jpeg_mem(const uint8_t* buf, size_t len) {
+Image decode_jpeg_mem(const uint8_t* buf, size_t len, int min_h = 0,
+                      int min_w = 0) {
   Image out;
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -266,6 +288,7 @@ Image decode_jpeg_mem(const uint8_t* buf, size_t len) {
   jpeg_mem_src(&cinfo, buf, len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  select_dct_scale(&cinfo, min_h, min_w);
   jpeg_start_decompress(&cinfo);
   out.h = cinfo.output_height;
   out.w = cinfo.output_width;
@@ -456,29 +479,78 @@ extern "C" {
 // Decode one image, resize to (out_h, out_w), write float32 HWC RGB into
 // out (caller-allocated, out_h*out_w*3 floats). out_h/out_w <= 0 keeps the
 // source size IF it matches the buffer dims passed in src_h/src_w probes.
-// Returns 0 on success.
-int nqa_decode_resize(const char* path, float* out, int out_h, int out_w) {
-  Image img = decode_any(path);
+// fast != 0 permits a DCT-domain scaled JPEG decode (largest 1/{2,4,8}
+// whose output still covers the target — e.g. 1080p -> 256² decodes at
+// 480x270), trading exact full-res bilinear geometry for a large decode
+// speedup; PNG is unaffected. Returns 0 on success.
+int nqa_decode_resize2(const char* path, float* out, int out_h, int out_w,
+                       int fast) {
+  Image img = fast ? decode_any(path, out_h, out_w) : decode_any(path);
   if (!img.ok) return 1;
   std::vector<float> rgb = to_float_rgb(img);
   resize_bilinear(rgb.data(), img.h, img.w, out, out_h, out_w);
   return 0;
 }
 
-// Probe image dimensions without full decode-to-float (full decode still
-// happens for simplicity; prep-time only). Returns 0 on success.
+int nqa_decode_resize(const char* path, float* out, int out_h, int out_w) {
+  return nqa_decode_resize2(path, out, out_h, out_w, 0);
+}
+
+// Probe image dimensions from the header only (no pixel decode — this
+// runs per-image on the FR loaders' hot path via load_prepared).
+// Returns 0 on success.
 int nqa_image_size(const char* path, int* h, int* w) {
-  Image img = decode_any(path);
-  if (!img.ok) return 1;
-  *h = img.h;
-  *w = img.w;
+  size_t n = strlen(path);
+  bool is_png = n >= 4 && (strcmp(path + n - 4, ".png") == 0 ||
+                           strcmp(path + n - 4, ".PNG") == 0);
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return 1;
+  if (is_png) {
+    png_byte header[8];
+    if (fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+      fclose(fp);
+      return 1;
+    }
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png_create_info_struct(png);
+    if (setjmp(png_jmpbuf(png))) {
+      png_destroy_read_struct(&png, &info, nullptr);
+      fclose(fp);
+      return 1;
+    }
+    png_init_io(png, fp);
+    png_set_sig_bytes(png, 8);
+    png_read_info(png, info);
+    *h = int(png_get_image_height(png, info));
+    *w = int(png_get_image_width(png, info));
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return 0;
+  }
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(fp);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  *h = int(cinfo.image_height);
+  *w = int(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(fp);
   return 0;
 }
 
 // Parallel batch: decode+resize n images into out (n*out_h*out_w*3 f32,
-// NHWC). Returns number of failures.
-int nqa_decode_resize_batch(const char** paths, int n, float* out, int out_h,
-                            int out_w, int threads) {
+// NHWC). fast: see nqa_decode_resize2. Returns number of failures.
+int nqa_decode_resize_batch2(const char** paths, int n, float* out,
+                             int out_h, int out_w, int threads, int fast) {
   ThreadPool& tp = get_pool(threads);
   std::atomic<int> failures{0};
   std::atomic<int> done{0};
@@ -488,8 +560,9 @@ int nqa_decode_resize_batch(const char** paths, int n, float* out, int out_h,
   for (int i = 0; i < n; ++i) {
     const char* p = paths[i];
     float* dst = out + stride * i;
-    tp.submit([p, dst, out_h, out_w, &failures, &done, &done_cv, &done_mu] {
-      if (nqa_decode_resize(p, dst, out_h, out_w) != 0) failures++;
+    tp.submit([p, dst, out_h, out_w, fast, &failures, &done, &done_cv,
+               &done_mu] {
+      if (nqa_decode_resize2(p, dst, out_h, out_w, fast) != 0) failures++;
       {
         std::lock_guard<std::mutex> lk(done_mu);
         done++;
@@ -500,6 +573,11 @@ int nqa_decode_resize_batch(const char** paths, int n, float* out, int out_h,
   std::unique_lock<std::mutex> lk(done_mu);
   done_cv.wait(lk, [&] { return done.load() == n; });
   return failures.load();
+}
+
+int nqa_decode_resize_batch(const char** paths, int n, float* out, int out_h,
+                            int out_w, int threads) {
+  return nqa_decode_resize_batch2(paths, n, out, out_h, out_w, threads, 0);
 }
 
 // Probe an mp4: fills the video codec fourcc (NUL-terminated, caller
@@ -532,10 +610,11 @@ int nqa_mp4_probe(const char* path, char* codec, int* n_frames, int* h,
 }
 
 // Decode MJPEG samples [start, start+n) to float32 NHWC RGB in [0,1] at
-// (out_h, out_w). Returns frames written, -1 on parse failure, -2 for a
-// non-MJPEG codec (caller falls back to ffmpeg).
-int nqa_mp4_decode_frames(const char* path, int start, int n, float* out,
-                          int out_h, int out_w, int threads) {
+// (out_h, out_w). fast: see nqa_decode_resize2. Returns frames written,
+// -1 on parse failure, -2 for a non-MJPEG codec (caller falls back to
+// ffmpeg).
+int nqa_mp4_decode_frames2(const char* path, int start, int n, float* out,
+                           int out_h, int out_w, int threads, int fast) {
   Mp4Track t = parse_mp4(path);
   if (!t.ok) return -1;
   if (!is_mjpeg(t.codec)) return -2;
@@ -553,7 +632,7 @@ int nqa_mp4_decode_frames(const char* path, int start, int n, float* out,
     uint64_t off = t.offsets[start + i];
     uint32_t size = t.sizes[start + i];
     float* dst = out + stride * i;
-    tp.submit([path, off, size, dst, out_h, out_w, &failures, &done,
+    tp.submit([path, off, size, dst, out_h, out_w, fast, &failures, &done,
                &done_cv, &done_mu] {
       // per-task FILE*: no shared seek state across pool threads
       FILE* fp = fopen(path, "rb");
@@ -561,7 +640,9 @@ int nqa_mp4_decode_frames(const char* path, int start, int n, float* out,
       bool ok = fp && read_sample(fp, off, size, &buf);
       if (fp) fclose(fp);
       if (ok) {
-        Image img = decode_jpeg_mem(buf.data(), buf.size());
+        Image img = fast
+            ? decode_jpeg_mem(buf.data(), buf.size(), out_h, out_w)
+            : decode_jpeg_mem(buf.data(), buf.size());
         if (img.ok) {
           std::vector<float> rgb = to_float_rgb(img);
           resize_bilinear(rgb.data(), img.h, img.w, dst, out_h, out_w);
@@ -580,6 +661,12 @@ int nqa_mp4_decode_frames(const char* path, int start, int n, float* out,
   std::unique_lock<std::mutex> lk(done_mu);
   done_cv.wait(lk, [&] { return done.load() == n; });
   return failures.load() ? -3 : n;
+}
+
+int nqa_mp4_decode_frames(const char* path, int start, int n, float* out,
+                          int out_h, int out_w, int threads) {
+  return nqa_mp4_decode_frames2(path, start, n, out, out_h, out_w, threads,
+                                0);
 }
 
 }  // extern "C"

@@ -60,8 +60,35 @@ def _load():
         ctypes.c_int,
     ]
     lib.nqa_mp4_decode_frames.restype = ctypes.c_int
+    # fast-decode variants (DCT-scaled JPEG); absent in older .so builds
+    if hasattr(lib, "nqa_decode_resize2"):
+        lib.nqa_decode_resize2.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.nqa_decode_resize2.restype = ctypes.c_int
+        lib.nqa_decode_resize_batch2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.nqa_decode_resize_batch2.restype = ctypes.c_int
+        lib.nqa_mp4_decode_frames2.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.nqa_mp4_decode_frames2.restype = ctypes.c_int
     _lib = lib
     return lib
+
+
+def fast_decode_available() -> bool:
+    """True when the built .so exports the DCT-scaled fast-decode ABI."""
+    try:
+        return hasattr(_load(), "nqa_decode_resize2")
+    except RuntimeError:
+        return False
 
 
 def available() -> bool:
@@ -81,31 +108,51 @@ def image_size(path: str) -> tuple[int, int]:
     return h.value, w.value
 
 
-def decode_resize(path: str, out_h: int, out_w: int) -> np.ndarray:
+def decode_resize(path: str, out_h: int, out_w: int,
+                  fast: bool = False) -> np.ndarray:
     """Decode + bilinear resize to float32 (out_h, out_w, 3) in [0,1];
-    RGBA composites onto white (matches data/imaging.load_image_rgb)."""
+    RGBA composites onto white (matches data/imaging.load_image_rgb).
+    fast=True permits a DCT-scaled JPEG decode (largest 1/{2,4,8} that
+    still covers the target; ~1.5-2x faster for 1080p -> 256²). The DCT
+    scale antialiases where the full-res bilinear path aliases — see
+    data/imaging.fast_decode_enabled for the measured scoring caveat;
+    PNG is unaffected."""
     lib = _load()
     out = np.empty((out_h, out_w, 3), np.float32)
-    rc = lib.nqa_decode_resize(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out_h, out_w,
-    )
+    if fast and hasattr(lib, "nqa_decode_resize2"):
+        rc = lib.nqa_decode_resize2(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_h, out_w, 1,
+        )
+    else:
+        rc = lib.nqa_decode_resize(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_h, out_w,
+        )
     if rc:
         raise IOError(f"decode failed: {path}")
     return out
 
 
 def decode_resize_batch(paths: list[str], out_h: int, out_w: int,
-                        threads: int = 8) -> np.ndarray:
+                        threads: int = 8, fast: bool = False) -> np.ndarray:
     """Parallel decode+resize into one (N, out_h, out_w, 3) f32 batch."""
     lib = _load()
     n = len(paths)
     out = np.empty((n, out_h, out_w, 3), np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    failures = lib.nqa_decode_resize_batch(
-        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out_h, out_w, threads,
-    )
+    if fast and hasattr(lib, "nqa_decode_resize_batch2"):
+        failures = lib.nqa_decode_resize_batch2(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_h, out_w, threads, 1,
+        )
+    else:
+        failures = lib.nqa_decode_resize_batch(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_h, out_w, threads,
+        )
     if failures:
         raise IOError(f"{failures}/{n} decodes failed")
     return out
@@ -126,7 +173,8 @@ def mp4_probe(path: str) -> tuple[str, int, int, int]:
 
 
 def mp4_decode_frames(path: str, out_h: int, out_w: int, start: int = 0,
-                      max_frames: int = 0, threads: int = 8) -> np.ndarray:
+                      max_frames: int = 0, threads: int = 8,
+                      fast: bool = False) -> np.ndarray:
     """Decode an MJPEG mp4's samples [start, start+max_frames) into a
     (T, out_h, out_w, 3) float32 batch (parallel across the pool).
     Raises for non-MJPEG codecs — callers fall back to ffmpeg."""
@@ -135,11 +183,18 @@ def mp4_decode_frames(path: str, out_h: int, out_w: int, start: int = 0,
     n = total - start if max_frames <= 0 else min(max_frames, total - start)
     n = max(n, 0)
     out = np.empty((n, out_h, out_w, 3), np.float32)
-    rc = lib.nqa_mp4_decode_frames(
-        path.encode(), start, n,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out_h, out_w, threads,
-    )
+    if fast and hasattr(lib, "nqa_mp4_decode_frames2"):
+        rc = lib.nqa_mp4_decode_frames2(
+            path.encode(), start, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_h, out_w, threads, 1,
+        )
+    else:
+        rc = lib.nqa_mp4_decode_frames(
+            path.encode(), start, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_h, out_w, threads,
+        )
     if rc == -2:
         raise IOError(f"unsupported mp4 codec '{codec}': {path}")
     if rc < 0 or rc != n:

@@ -22,7 +22,11 @@ from typing import Iterator
 
 import numpy as np
 
-from nerf_qa_tpu.data.imaging import load_image_rgb, prepare_image
+from nerf_qa_tpu.data.imaging import (
+    load_image_rgb,
+    load_prepared,
+    prepare_image,
+)
 
 
 def _ffmpeg_exe() -> str | None:
@@ -50,9 +54,11 @@ def load_video_frames(
         )
         if max_frames:
             files = files[:max_frames]
+        # load_prepared routes through the native decode+resize pool when
+        # built (PIL fallback otherwise) — the serve/score hot path
         frames = [
-            prepare_image(load_image_rgb(os.path.join(video_path, f)),
-                          resize=resize, keep_aspect_ratio=keep_aspect_ratio)
+            load_prepared(os.path.join(video_path, f), resize=resize,
+                          keep_aspect_ratio=keep_aspect_ratio)
             for f in files
         ]
         return np.stack(frames)
@@ -126,8 +132,11 @@ def _load_mp4_native(video_path: str, resize: bool, keep_aspect_ratio: bool,
                 oh, ow = 256, 256
         else:
             oh, ow = h, w
+        from nerf_qa_tpu.data.imaging import fast_decode_enabled
+
         return native.mp4_decode_frames(
-            video_path, oh, ow, max_frames=max_frames or 0
+            video_path, oh, ow, max_frames=max_frames or 0,
+            fast=fast_decode_enabled(),
         )
     except Exception:
         return None

@@ -55,14 +55,18 @@ def make_fixtures(root: str, n: int, h: int = 1080, w: int = 1920,
 
 
 def bench_decode(paths: list[str], threads: int, out_hw=(256, 256),
-                 reps: int = 3) -> float:
-    """frames/s of the native pool decoding+resizing ``paths``."""
+                 reps: int = 3, fast: bool = False) -> float:
+    """frames/s of the native pool decoding+resizing ``paths``.
+    fast=True uses the DCT-scaled JPEG decode (data/native.decode_resize
+    docstring) — the NERF_QA_TPU_FAST_DECODE=1 feed path."""
     from nerf_qa_tpu.data import native
 
-    native.decode_resize_batch(paths[:2], *out_hw, threads=threads)  # warm
+    native.decode_resize_batch(paths[:2], *out_hw, threads=threads,
+                               fast=fast)  # warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        native.decode_resize_batch(paths, *out_hw, threads=threads)
+        native.decode_resize_batch(paths, *out_hw, threads=threads,
+                                   fast=fast)
     return len(paths) * reps / (time.perf_counter() - t0)
 
 
@@ -137,6 +141,13 @@ def run(frames: int = 32, threads=(1, 2, 4, 8), overlap: bool = False,
             for t in threads:
                 result[f"fps_host_decode_{codec}_t{t}"] = round(
                     bench_decode(paths, t), 2)
+            if codec == "jpeg":
+                from nerf_qa_tpu.data import native as _native
+
+                if _native.fast_decode_available():
+                    for t in threads:
+                        result[f"fps_host_decode_jpeg_fast_t{t}"] = round(
+                            bench_decode(paths, t, fast=True), 2)
             if frames_dir:
                 break
         if overlap:

@@ -34,14 +34,13 @@ import numpy as np
 
 
 def _load_frames(path: str, resize: bool, keep_aspect: bool) -> np.ndarray:
-    from nerf_qa_tpu.data.imaging import load_image_rgb, prepare_image
+    from nerf_qa_tpu.data.imaging import load_prepared
     from nerf_qa_tpu.data.video import load_video_frames
 
     if os.path.isdir(path) or path.endswith((".mp4", ".mov")):
         return load_video_frames(path, resize=resize,
                                  keep_aspect_ratio=keep_aspect)
-    img = prepare_image(load_image_rgb(path), resize=resize,
-                        keep_aspect_ratio=keep_aspect)
+    img = load_prepared(path, resize=resize, keep_aspect_ratio=keep_aspect)
     return img[None]
 
 
