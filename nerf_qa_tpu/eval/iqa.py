@@ -1,4 +1,5 @@
-"""Classical IQA metrics: PSNR, SSIM, MS-SSIM, LPIPS (batched, jittable).
+"""Classical IQA metrics: PSNR, SSIM, MS-SSIM, LPIPS, GMSD (batched,
+jittable).
 
 The reference's prep/analysis compare DISTS against SSIM/PSNR/LPIPS/...
 columns shipped inside its score CSVs (prep.py:344-394,
@@ -156,3 +157,46 @@ def ms_ssim(x: jax.Array, y: jax.Array, max_val: float = 1.0,
     for v, w in zip(vals, weights):
         total = total * jnp.maximum(v, 0.0) ** w
     return total
+
+
+def gmsd(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Gradient Magnitude Similarity Deviation (Xue et al. 2014) — one of
+    the competitor metrics in the reference's results tables
+    (results_table.tex:11-20). Lower is worse quality. Per-image scores
+    over NHWC [0,1] batches.
+
+    Standard pipeline: luminance in [0,255], 2x2 average downsample,
+    Prewitt gradients, GMS map with c=170, score = std(GMS)."""
+    def lum255(v):
+        v = v.astype(jnp.float32) * 255.0
+        return (0.299 * v[..., 0] + 0.587 * v[..., 1]
+                + 0.114 * v[..., 2])[..., None]
+
+    x = lum255(x)
+    y = lum255(y)
+    # 2x2 average pooling, stride 2 (the paper's preprocessing)
+    def down2(v):
+        return jax.lax.reduce_window(
+            v, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        ) * 0.25
+
+    x = down2(x)
+    y = down2(y)
+    hx = jnp.asarray(
+        [[1, 0, -1], [1, 0, -1], [1, 0, -1]], jnp.float32) / 3.0
+    def grad_mag(v):
+        def conv(k):
+            return jax.lax.conv_general_dilated(
+                v, k.reshape(3, 3, 1, 1), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+        gx = conv(hx)
+        gy = conv(hx.T)
+        return jnp.sqrt(gx * gx + gy * gy + 1e-12)
+
+    gmx = grad_mag(x)
+    gmy = grad_mag(y)
+    c = 170.0
+    gms = (2.0 * gmx * gmy + c) / (gmx * gmx + gmy * gmy + c)
+    return jnp.std(gms, axis=(1, 2, 3))

@@ -89,6 +89,8 @@ class PairScorer:
                     self._iqa["LPIPS"] = jax.jit(
                         lambda x, y, _lin=lin: iqa.lpips(
                             self.vgg_params, x, y, _lin))
+                elif name == "gmsd":
+                    self._iqa["GMSD"] = jax.jit(iqa.gmsd)
                 else:
                     raise SystemExit(f"unknown --iqa metric {name!r}")
 
@@ -145,7 +147,7 @@ def main(argv=None):
     p.add_argument("--output-csv", default=None)
     p.add_argument("--iqa", default="",
                    help="comma-separated comparison-metric columns to add "
-                        "(psnr,ssim,ms-ssim,lpips) — the reference "
+                        "(psnr,ssim,ms-ssim,lpips,gmsd) — the reference "
                         "consumed these from external CSVs "
                         "(prep.py:344-394); computed natively here")
     p.add_argument("--lpips-ckpt", default=None,

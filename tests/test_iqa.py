@@ -95,6 +95,51 @@ def test_lpips_identical_is_zero_and_orders_distortions():
     assert (lm > 0).all() and (lh > lm).all(), (lm, lh)
 
 
+def test_gmsd_identical_is_zero_and_orders_distortions():
+    from nerf_qa_tpu.eval.iqa import gmsd
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((2, 96, 96, 3), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(gmsd(x, x)), 0.0, atol=1e-6)
+    mild = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.03, x.shape).astype(np.float32)), 0, 1)
+    harsh = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.25, x.shape).astype(np.float32)), 0, 1)
+    gm = np.asarray(gmsd(x, mild))
+    gh = np.asarray(gmsd(x, harsh))
+    assert (gm > 0).all() and (gh > gm).all(), (gm, gh)
+
+
+def test_gmsd_matches_direct_formula():
+    """Cross-check against an independent dense torch implementation of
+    Xue et al. 2014 (luminance/255, 2x2 avg-pool s2, Prewitt/3, c=170)."""
+    import torch
+    import torch.nn.functional as F
+
+    from nerf_qa_tpu.eval.iqa import gmsd
+
+    rng = np.random.default_rng(5)
+    x = rng.random((1, 64, 64, 3), dtype=np.float32)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape).astype(np.float32), 0, 1)
+    ours = float(np.asarray(gmsd(jnp.asarray(x), jnp.asarray(y)))[0])
+
+    def lum(v):
+        v = torch.from_numpy(v).permute(0, 3, 1, 2) * 255.0
+        return (0.299 * v[:, :1] + 0.587 * v[:, 1:2] + 0.114 * v[:, 2:3])
+
+    tx, ty = F.avg_pool2d(lum(x), 2), F.avg_pool2d(lum(y), 2)
+    hx = torch.tensor([[1., 0., -1.]] * 3)[None, None] / 3.0
+    def gm(v):
+        gx = F.conv2d(v, hx, padding=1)
+        gy = F.conv2d(v, hx.transpose(2, 3), padding=1)
+        return torch.sqrt(gx * gx + gy * gy + 1e-12)
+
+    gmx, gmy = gm(tx), gm(ty)
+    gms = (2 * gmx * gmy + 170.0) / (gmx**2 + gmy**2 + 170.0)
+    ref = torch.std(gms, unbiased=False).item()
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
 def test_lpips_lin_weight_converter():
     """Official lpips vgg.pth layout -> per-stage channel vectors, and
     the converted weights actually recalibrate the score."""
