@@ -1,5 +1,5 @@
-"""Classical IQA metrics: PSNR, SSIM, MS-SSIM, LPIPS, GMSD (batched,
-jittable).
+"""Classical IQA metrics: PSNR, SSIM, MS-SSIM, LPIPS, GMSD, VIF,
+FSIM/FSIMc (batched, jittable).
 
 The reference's prep/analysis compare DISTS against SSIM/PSNR/LPIPS/...
 columns shipped inside its score CSVs (prep.py:344-394,
@@ -159,6 +159,82 @@ def ms_ssim(x: jax.Array, y: jax.Array, max_val: float = 1.0,
     return total
 
 
+def _lum255(v: jax.Array) -> jax.Array:
+    """NHWC [0,1] -> NHW luminance in [0,255] (ITU-R BT.601 weights)."""
+    v = v.astype(jnp.float32) * 255.0
+    return 0.299 * v[..., 0] + 0.587 * v[..., 1] + 0.114 * v[..., 2]
+
+
+def _filter2_valid(x: jax.Array, win: np.ndarray) -> jax.Array:
+    """Dense VALID 2-D correlation over an NHW batch."""
+    k = jnp.asarray(win, jnp.float32)[:, :, None, None]
+    return jax.lax.conv_general_dilated(
+        x[..., None], k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )[..., 0]
+
+
+def vif(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pixel-domain Visual Information Fidelity (Sheikh & Bovik 2006,
+    the ``vifp_mscale`` formulation) — a competitor metric in the
+    reference's Test2 results table (results_table_test2.tex:11-25).
+    Per-image scores over NHWC [0,1] batches; ``x`` is the reference
+    image, ``y`` the distorted one. Higher is better; 1.0 for identical
+    inputs, and >1 is possible for contrast-enhanced ``y`` (a known VIF
+    property).
+
+    Algorithm: 4 scales; at scale s a Gaussian window of size
+    N=2^(5-s)+1 (std N/5) computes local moments on luminance [0,255];
+    between scales the images are low-passed and 2x subsampled. Scalar
+    visual-information ratio accumulates log10 terms with
+    sigma_nsq=2."""
+    ref = _lum255(x)
+    dist = _lum255(y)
+    sigma_nsq = 2.0
+    num = 0.0
+    den = 0.0
+    for scale in range(1, 5):
+        n = 2 ** (4 - scale + 1) + 1
+        taps = _gaussian_kernel(n, n / 5.0).astype(np.float64)
+        win = np.outer(taps, taps)
+        win = (win / win.sum()).astype(np.float32)
+        if scale > 1:
+            ref = _filter2_valid(ref, win)[:, ::2, ::2]
+            dist = _filter2_valid(dist, win)[:, ::2, ::2]
+        mu1 = _filter2_valid(ref, win)
+        mu2 = _filter2_valid(dist, win)
+        sigma1_sq = _filter2_valid(ref * ref, win) - mu1 * mu1
+        sigma2_sq = _filter2_valid(dist * dist, win) - mu2 * mu2
+        sigma12 = _filter2_valid(ref * dist, win) - mu1 * mu2
+        sigma1_sq = jnp.maximum(sigma1_sq, 0.0)
+        sigma2_sq = jnp.maximum(sigma2_sq, 0.0)
+
+        g = sigma12 / (sigma1_sq + 1e-10)
+        sv_sq = sigma2_sq - g * sigma12
+        # the reference MATLAB's edge-case rewrites, as masks
+        tiny1 = sigma1_sq < 1e-10
+        g = jnp.where(tiny1, 0.0, g)
+        sv_sq = jnp.where(tiny1, sigma2_sq, sv_sq)
+        sigma1_sq = jnp.where(tiny1, 0.0, sigma1_sq)
+        tiny2 = sigma2_sq < 1e-10
+        g = jnp.where(tiny2, 0.0, g)
+        sv_sq = jnp.where(tiny2, 0.0, sv_sq)
+        neg_g = g < 0
+        sv_sq = jnp.where(neg_g, sigma2_sq, sv_sq)
+        g = jnp.where(neg_g, 0.0, g)
+        sv_sq = jnp.maximum(sv_sq, 1e-10)
+
+        num = num + jnp.sum(
+            jnp.log10(1.0 + g * g * sigma1_sq / (sv_sq + sigma_nsq)),
+            axis=(1, 2),
+        )
+        den = den + jnp.sum(
+            jnp.log10(1.0 + sigma1_sq / sigma_nsq), axis=(1, 2)
+        )
+    return num / jnp.maximum(den, 1e-10)
+
+
 def gmsd(x: jax.Array, y: jax.Array) -> jax.Array:
     """Gradient Magnitude Similarity Deviation (Xue et al. 2014) — one of
     the competitor metrics in the reference's results tables
@@ -167,13 +243,8 @@ def gmsd(x: jax.Array, y: jax.Array) -> jax.Array:
 
     Standard pipeline: luminance in [0,255], 2x2 average downsample,
     Prewitt gradients, GMS map with c=170, score = std(GMS)."""
-    def lum255(v):
-        v = v.astype(jnp.float32) * 255.0
-        return (0.299 * v[..., 0] + 0.587 * v[..., 1]
-                + 0.114 * v[..., 2])[..., None]
-
-    x = lum255(x)
-    y = lum255(y)
+    x = _lum255(x)[..., None]
+    y = _lum255(y)[..., None]
     # 2x2 average pooling, stride 2 (the paper's preprocessing)
     def down2(v):
         return jax.lax.reduce_window(
@@ -200,3 +271,211 @@ def gmsd(x: jax.Array, y: jax.Array) -> jax.Array:
     c = 170.0
     gms = (2.0 * gmx * gmy + c) / (gmx * gmx + gmy * gmy + c)
     return jnp.std(gms, axis=(1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# FSIM / FSIMc (Zhang et al. 2011) — competitor metric in the reference's
+# Test2 results table (results_table_test2.tex:11-25). The phase-congruency
+# transform follows the FSIM authors' embedding of Kovesi's phasecong2
+# (4 log-Gabor scales x 4 orientations, minWaveLength 6, mult 2,
+# sigmaOnf 0.55, dThetaOnSigma 1.2, noise threshold k=2 with the /1.7
+# empirical rescale). All frequency-domain filters are numpy constants
+# built at trace time (static shapes); only the image FFTs are traced.
+# ---------------------------------------------------------------------------
+
+_PC_NSCALE = 4
+_PC_NORIENT = 4
+_PC_MIN_WAVELENGTH = 6.0
+_PC_MULT = 2.0
+_PC_SIGMA_ONF = 0.55
+_PC_DTHETA_ON_SIGMA = 1.2
+_PC_K = 2.0
+_PC_EPS = 1e-4
+
+
+def _pc_filters(rows: int, cols: int):
+    """(filters[o][s] (H,W) float32, noise constants) for phasecong2."""
+    if cols % 2:
+        xr = np.arange(-(cols - 1) / 2, (cols - 1) / 2 + 1) / (cols - 1)
+    else:
+        xr = np.arange(-cols / 2, cols / 2) / cols
+    if rows % 2:
+        yr = np.arange(-(rows - 1) / 2, (rows - 1) / 2 + 1) / (rows - 1)
+    else:
+        yr = np.arange(-rows / 2, rows / 2) / rows
+    xg, yg = np.meshgrid(xr, yr)
+    radius = np.fft.ifftshift(np.sqrt(xg * xg + yg * yg))
+    radius[0, 0] = 1.0
+    theta = np.fft.ifftshift(np.arctan2(-yg, xg))
+    sintheta, costheta = np.sin(theta), np.cos(theta)
+
+    lp = np.fft.ifftshift(  # Kovesi lowpassfilter(cutoff=.45, n=15)
+        1.0 / (1.0 + (np.fft.fftshift(radius) / 0.45) ** 30))
+    log_gabor = []
+    for s in range(_PC_NSCALE):
+        fo = 1.0 / (_PC_MIN_WAVELENGTH * _PC_MULT**s)
+        g = np.exp(-np.log(radius / fo) ** 2
+                   / (2.0 * np.log(_PC_SIGMA_ONF) ** 2)) * lp
+        g[0, 0] = 0.0
+        log_gabor.append(g)
+
+    theta_sigma = np.pi / _PC_NORIENT / _PC_DTHETA_ON_SIGMA
+    spreads = []
+    for o in range(_PC_NORIENT):
+        angl = o * np.pi / _PC_NORIENT
+        ds = sintheta * np.cos(angl) - costheta * np.sin(angl)
+        dc = costheta * np.cos(angl) + sintheta * np.sin(angl)
+        dtheta = np.abs(np.arctan2(ds, dc))
+        spreads.append(np.exp(-dtheta**2 / (2.0 * theta_sigma**2)))
+
+    filters = [[(log_gabor[s] * spreads[o]).astype(np.float32)
+                for s in range(_PC_NSCALE)] for o in range(_PC_NORIENT)]
+
+    # per-orientation noise-model constants (data enters only through the
+    # median of the smallest-scale energy)
+    noise_const = []
+    for o in range(_PC_NORIENT):
+        em_n = float(np.sum(filters[o][0] ** 2))
+        ifft_filts = [
+            np.real(np.fft.ifft2(filters[o][s])) * np.sqrt(rows * cols)
+            for s in range(_PC_NSCALE)
+        ]
+        sum_an2 = float(sum(np.sum(f * f) for f in ifft_filts))
+        sum_aiaj = float(sum(
+            np.sum(ifft_filts[si] * ifft_filts[sj])
+            for si in range(_PC_NSCALE) for sj in range(si + 1, _PC_NSCALE)
+        ))
+        noise_const.append((em_n, sum_an2, sum_aiaj))
+    return filters, noise_const
+
+
+def _phase_congruency(im: jax.Array) -> jax.Array:
+    """Kovesi phasecong2 map over an NHW luminance batch (per FSIM.m)."""
+    n, rows, cols = im.shape
+    filters, noise_const = _pc_filters(rows, cols)
+    imfft = jnp.fft.fft2(im.astype(jnp.float32))
+
+    energy_all = 0.0
+    an_all = 0.0
+    for o in range(_PC_NORIENT):
+        eos = []
+        sum_an = 0.0
+        sum_e = 0.0
+        sum_o = 0.0
+        for s in range(_PC_NSCALE):
+            eo = jnp.fft.ifft2(imfft * jnp.asarray(filters[o][s]))
+            eos.append(eo)
+            sum_an = sum_an + jnp.abs(eo)
+            sum_e = sum_e + jnp.real(eo)
+            sum_o = sum_o + jnp.imag(eo)
+        x_energy = jnp.sqrt(sum_e**2 + sum_o**2) + _PC_EPS
+        mean_e = sum_e / x_energy
+        mean_o = sum_o / x_energy
+        energy = 0.0
+        for eo in eos:
+            e, oi = jnp.real(eo), jnp.imag(eo)
+            energy = energy + e * mean_e + oi * mean_o - jnp.abs(
+                e * mean_o - oi * mean_e)
+
+        em_n, sum_an2, sum_aiaj = noise_const[o]
+        median_e2n = jnp.median(
+            jnp.abs(eos[0]) ** 2, axis=(1, 2), keepdims=True)
+        mean_e2n = median_e2n / float(np.log(2.0))
+        noise_power = mean_e2n / em_n
+        est_noise_energy2 = (2.0 * noise_power * sum_an2
+                             + 4.0 * noise_power * sum_aiaj)
+        tau = jnp.sqrt(est_noise_energy2 / 2.0)
+        est_mean = tau * float(np.sqrt(np.pi / 2.0))
+        est_sigma = jnp.sqrt((2.0 - np.pi / 2.0) * tau**2)
+        t = (est_mean + _PC_K * est_sigma) / 1.7  # FSIM.m empirical rescale
+        energy = jnp.maximum(energy - t, 0.0)
+
+        energy_all = energy_all + energy
+        an_all = an_all + sum_an
+    return energy_all / an_all
+
+
+def _scharr_grad(v: jax.Array) -> jax.Array:
+    """Gradient magnitude with FSIM.m's Scharr/16 operator over NHW."""
+    kx = jnp.asarray(
+        [[3.0, 0.0, -3.0], [10.0, 0.0, -10.0], [3.0, 0.0, -3.0]],
+        jnp.float32) / 16.0
+
+    def conv(k):
+        return jax.lax.conv_general_dilated(
+            v[..., None], k.reshape(3, 3, 1, 1), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+
+    gx = conv(kx)
+    gy = conv(kx.T)
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+def _fsim_impl(x: jax.Array, y: jax.Array):
+    """Shared FSIM/FSIMc pipeline; returns (fsim, fsimc) per image."""
+    x = x.astype(jnp.float32) * 255.0
+    y = y.astype(jnp.float32) * 255.0
+
+    def yiq(v):
+        return (
+            0.299 * v[..., 0] + 0.587 * v[..., 1] + 0.114 * v[..., 2],
+            0.596 * v[..., 0] - 0.274 * v[..., 1] - 0.322 * v[..., 2],
+            0.211 * v[..., 0] - 0.523 * v[..., 1] + 0.312 * v[..., 2],
+        )
+
+    y1, i1, q1 = yiq(x)
+    y2, i2, q2 = yiq(y)
+
+    rows, cols = y1.shape[1], y1.shape[2]
+    f = max(1, int(round(min(rows, cols) / 256.0)))
+    if f > 1:
+        ave = np.full((f, f), 1.0 / (f * f), np.float32)
+
+        def down(v):
+            # 'same' average filter then 1:F subsampling (FSIM.m order)
+            pad_t = (f - 1) // 2
+            pad_l = (f - 1) // 2
+            vf = jax.lax.conv_general_dilated(
+                v[..., None], jnp.asarray(ave).reshape(f, f, 1, 1),
+                (1, 1), [(pad_t, f - 1 - pad_t), (pad_l, f - 1 - pad_l)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )[..., 0]
+            return vf[:, ::f, ::f]
+
+        y1, i1, q1, y2, i2, q2 = (down(v) for v in (y1, i1, q1, y2, i2, q2))
+
+    pc1 = _phase_congruency(y1)
+    pc2 = _phase_congruency(y2)
+    g1 = _scharr_grad(y1)
+    g2 = _scharr_grad(y2)
+
+    t1, t2, t3, t4, lam = 0.85, 160.0, 200.0, 200.0, 0.03
+    s_pc = (2.0 * pc1 * pc2 + t1) / (pc1**2 + pc2**2 + t1)
+    s_g = (2.0 * g1 * g2 + t2) / (g1**2 + g2**2 + t2)
+    pcm = jnp.maximum(pc1, pc2)
+    sim = s_g * s_pc * pcm
+    denom = jnp.sum(pcm, axis=(1, 2))
+    fsim_val = jnp.sum(sim, axis=(1, 2)) / denom
+
+    s_i = (2.0 * i1 * i2 + t3) / (i1**2 + i2**2 + t3)
+    s_q = (2.0 * q1 * q2 + t4) / (q1**2 + q2**2 + t4)
+    # FSIM.m uses real((S_I*S_Q)^lambda): for negative products MATLAB's
+    # complex power yields |s|^lam * cos(lam*pi), not a sign flip
+    siq = s_i * s_q
+    chroma = jnp.abs(siq) ** lam * jnp.where(
+        siq < 0, float(np.cos(lam * np.pi)), 1.0)
+    fsimc_val = jnp.sum(sim * chroma, axis=(1, 2)) / denom
+    return fsim_val, fsimc_val
+
+
+def fsim(x: jax.Array, y: jax.Array) -> jax.Array:
+    """FSIM (luma) per-image scores over NHWC [0,1] batches."""
+    return _fsim_impl(x, y)[0]
+
+
+def fsimc(x: jax.Array, y: jax.Array) -> jax.Array:
+    """FSIMc (luma + IQ chrominance) per-image scores."""
+    return _fsim_impl(x, y)[1]

@@ -91,6 +91,13 @@ class PairScorer:
                             self.vgg_params, x, y, _lin))
                 elif name == "gmsd":
                     self._iqa["GMSD"] = jax.jit(iqa.gmsd)
+                elif name == "vif":
+                    # VIF's reference argument comes first
+                    self._iqa["VIF"] = jax.jit(lambda d, r: iqa.vif(r, d))
+                elif name == "fsim":
+                    self._iqa["FSIM"] = jax.jit(iqa.fsim)
+                elif name == "fsimc":
+                    self._iqa["FSIMc"] = jax.jit(iqa.fsimc)
                 else:
                     raise SystemExit(f"unknown --iqa metric {name!r}")
 
@@ -147,7 +154,8 @@ def main(argv=None):
     p.add_argument("--output-csv", default=None)
     p.add_argument("--iqa", default="",
                    help="comma-separated comparison-metric columns to add "
-                        "(psnr,ssim,ms-ssim,lpips,gmsd) — the reference "
+                        "(psnr,ssim,ms-ssim,lpips,gmsd,vif,fsim,fsimc) — "
+                        "the reference "
                         "consumed these from external CSVs "
                         "(prep.py:344-394); computed natively here")
     p.add_argument("--lpips-ckpt", default=None,

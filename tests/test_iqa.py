@@ -140,6 +140,137 @@ def test_gmsd_matches_direct_formula():
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
+def test_vif_identical_is_one_and_orders_distortions():
+    from nerf_qa_tpu.eval.iqa import vif
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((2, 96, 96, 3), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(vif(x, x)), 1.0, atol=1e-4)
+    mild = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.03, x.shape).astype(np.float32)), 0, 1)
+    harsh = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.25, x.shape).astype(np.float32)), 0, 1)
+    vm = np.asarray(vif(x, mild))
+    vh = np.asarray(vif(x, harsh))
+    assert (vm < 1.0).all() and (vh < vm).all(), (vm, vh)
+
+
+def test_vif_contrast_enhancement_exceeds_one():
+    """The famous VIF property: a contrast-scaled image carries MORE
+    visual information than the reference -> VIF > 1."""
+    from nerf_qa_tpu.eval.iqa import vif
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(0.4 + 0.2 * rng.random((1, 96, 96, 3),
+                                           dtype=np.float32))
+    boosted = jnp.clip((x - 0.5) * 1.4 + 0.5, 0, 1)
+    assert float(vif(x, boosted)[0]) > 1.0
+
+
+def test_vif_matches_direct_formula():
+    """Cross-check against an independent dense torch implementation of
+    vifp_mscale (4 scales, gaussian N/5 windows, sigma_nsq=2)."""
+    import torch
+    import torch.nn.functional as F
+
+    from nerf_qa_tpu.eval.iqa import _gaussian_kernel, vif
+
+    rng = np.random.default_rng(8)
+    x = rng.random((1, 64, 64, 3), dtype=np.float32)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape).astype(np.float32), 0, 1)
+    ours = float(np.asarray(vif(jnp.asarray(x), jnp.asarray(y)))[0])
+
+    def lum(v):
+        v = torch.from_numpy(v).permute(0, 3, 1, 2) * 255.0
+        return 0.299 * v[:, :1] + 0.587 * v[:, 1:2] + 0.114 * v[:, 2:3]
+
+    ref, dist = lum(x), lum(y)
+    num = den = 0.0
+    for scale in range(1, 5):
+        n = 2 ** (4 - scale + 1) + 1
+        t = torch.from_numpy(_gaussian_kernel(n, n / 5.0))
+        win = torch.outer(t, t)
+        win = (win / win.sum())[None, None]
+        if scale > 1:
+            ref = F.conv2d(ref, win)[:, :, ::2, ::2]
+            dist = F.conv2d(dist, win)[:, :, ::2, ::2]
+        mu1, mu2 = F.conv2d(ref, win), F.conv2d(dist, win)
+        s1 = (F.conv2d(ref * ref, win) - mu1 * mu1).clamp_min(0)
+        s2 = (F.conv2d(dist * dist, win) - mu2 * mu2).clamp_min(0)
+        s12 = F.conv2d(ref * dist, win) - mu1 * mu2
+        g = s12 / (s1 + 1e-10)
+        sv = s2 - g * s12
+        g[s1 < 1e-10] = 0
+        sv[s1 < 1e-10] = s2[s1 < 1e-10]
+        s1 = s1.clone()
+        s1[s1 < 1e-10] = 0
+        g[s2 < 1e-10] = 0
+        sv[s2 < 1e-10] = 0
+        sv[g < 0] = s2[g < 0]
+        g = g.clamp_min(0)
+        sv = sv.clamp_min(1e-10)
+        num += torch.log10(1 + g * g * s1 / (sv + 2.0)).sum().item()
+        den += torch.log10(1 + s1 / 2.0).sum().item()
+    np.testing.assert_allclose(ours, num / den, rtol=1e-4)
+
+
+def test_fsim_identical_is_one_and_orders_distortions():
+    from nerf_qa_tpu.eval.iqa import fsim, fsimc
+
+    rng = np.random.default_rng(9)
+    base = rng.random((2, 96, 96, 3), dtype=np.float32)
+    # smooth the noise a little so phase congruency has real structure
+    base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)) / 3.0
+    x = jnp.asarray(base)
+    np.testing.assert_allclose(np.asarray(fsim(x, x)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fsimc(x, x)), 1.0, atol=1e-5)
+    mild = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.03, x.shape).astype(np.float32)), 0, 1)
+    harsh = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.25, x.shape).astype(np.float32)), 0, 1)
+    fm = np.asarray(fsim(x, mild))
+    fh = np.asarray(fsim(x, harsh))
+    assert (fm < 1.0).all() and (fh < fm).all(), (fm, fh)
+    assert (fh > 0.0).all()
+
+
+def test_fsimc_equals_fsim_on_grayscale():
+    """R=G=B images have zero IQ chrominance -> the chroma similarity
+    term is exactly 1 and FSIMc == FSIM."""
+    from nerf_qa_tpu.eval.iqa import fsim, fsimc
+
+    rng = np.random.default_rng(10)
+    g = rng.random((1, 64, 64, 1), dtype=np.float32)
+    x = jnp.asarray(np.repeat(g, 3, axis=-1))
+    y = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.1, x.shape).astype(np.float32)), 0, 1)
+    y = jnp.repeat(y.mean(axis=-1, keepdims=True), 3, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(fsimc(x, y)), np.asarray(fsim(x, y)), atol=1e-6)
+
+
+def test_fsimc_penalizes_chroma_distortion():
+    from nerf_qa_tpu.eval.iqa import fsim, fsimc
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    # hue-rotate: swap channels (luma-similar, chroma-different)
+    y = x[..., [1, 2, 0]]
+    assert float(fsimc(x, y)[0]) < float(fsim(x, y)[0])
+
+
+def test_fsim_downsample_path():
+    """min side >= 384 engages the F=2 average-downsample front end."""
+    from nerf_qa_tpu.eval.iqa import fsim
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.random((1, 384, 400, 3), dtype=np.float32))
+    y = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.1, (1, 384, 400, 3)).astype(np.float32)), 0, 1)
+    v = float(fsim(x, y)[0])
+    assert np.isfinite(v) and 0.0 < v <= 1.0
+
+
 def test_lpips_lin_weight_converter():
     """Official lpips vgg.pth layout -> per-stage channel vectors, and
     the converted weights actually recalibrate the score."""
