@@ -43,7 +43,14 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _window_filter(x: jax.Array, taps: np.ndarray) -> jax.Array:
-    """Separable VALID depthwise filtering over NHWC."""
+    """Separable VALID depthwise filtering over NHWC.
+
+    Precision.HIGHEST is load-bearing: TPU convs default to bf16-grade
+    operand precision even for f32 inputs, and the W(x²)−W(x)² variances
+    these moments feed cancel catastrophically — bf16 operands produce
+    ~1e-3 NEGATIVE variances whose near-zero SSIM denominators blow
+    single windows up to >1e4 (observed: frame SSIM 1.05 on the
+    synthetic fixture)."""
     c = x.shape[-1]
     t = jnp.asarray(taps)
     for axis, shape in ((1, (-1, 1, 1, 1)), (2, (1, -1, 1, 1))):
@@ -53,6 +60,7 @@ def _window_filter(x: jax.Array, taps: np.ndarray) -> jax.Array:
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     return x
 
@@ -166,12 +174,14 @@ def _lum255(v: jax.Array) -> jax.Array:
 
 
 def _filter2_valid(x: jax.Array, win: np.ndarray) -> jax.Array:
-    """Dense VALID 2-D correlation over an NHW batch."""
+    """Dense VALID 2-D correlation over an NHW batch (f32 operand
+    precision — VIF's variances cancel like SSIM's, see _window_filter)."""
     k = jnp.asarray(win, jnp.float32)[:, :, None, None]
     return jax.lax.conv_general_dilated(
         x[..., None], k, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )[..., 0]
 
 
@@ -261,6 +271,7 @@ def gmsd(x: jax.Array, y: jax.Array) -> jax.Array:
                 v, k.reshape(3, 3, 1, 1), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         gx = conv(hx)
         gy = conv(hx.T)
@@ -406,6 +417,7 @@ def _scharr_grad(v: jax.Array) -> jax.Array:
             v[..., None], k.reshape(3, 3, 1, 1), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )[..., 0]
 
     gx = conv(kx)
@@ -442,6 +454,7 @@ def _fsim_impl(x: jax.Array, y: jax.Array):
                 (1, 1), [(pad_t, f - 1 - pad_t), (pad_l, f - 1 - pad_l)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )[..., 0]
             return vf[:, ::f, ::f]
 

@@ -39,6 +39,25 @@ def test_ssim_decreases_with_noise(pair):
     assert (np.asarray(ssim(x, worse)) < s).all()
 
 
+def test_ssim_bounded_on_smooth_images():
+    """SSIM <= 1 mathematically (AM-GM + Cauchy-Schwarz on the weighted
+    moments). The bound breaks if the windowed-moment convs lose operand
+    precision: TPU convs default to bf16-grade operands, whose ~1e-3
+    error on W(x²)−W(x)² makes variances NEGATIVE and single windows
+    blow up to >1e4 (observed frame SSIM 1.05 before
+    Precision.HIGHEST). Smooth low-variance images maximize the
+    cancellation, so this guards the hardware tier."""
+    rng = np.random.default_rng(5)
+    base = rng.random((2, 16, 16, 3), dtype=np.float32)
+    smooth = jnp.asarray(np.stack([
+        np.kron(b, np.ones((16, 16, 1), np.float32)) for b in base
+    ]))  # 256² piecewise-smooth, values ~O(1)
+    noisy = jnp.clip(smooth + jnp.asarray(
+        rng.normal(0, 0.02, smooth.shape).astype(np.float32)), 0, 1)
+    s = np.asarray(ssim(smooth, noisy))
+    assert (s <= 1.0 + 1e-5).all() and (s >= 0.0).all(), s
+
+
 def test_ssim_matches_direct_formula():
     """Cross-check against an independent dense NCHW implementation."""
     import torch
