@@ -1,5 +1,5 @@
 """Classical IQA metrics: PSNR, SSIM, MS-SSIM, LPIPS, GMSD, VIF,
-FSIM/FSIMc (batched, jittable).
+FSIM/FSIMc, NLPD (batched, jittable).
 
 The reference's prep/analysis compare DISTS against SSIM/PSNR/LPIPS/...
 columns shipped inside its score CSVs (prep.py:344-394,
@@ -492,3 +492,84 @@ def fsim(x: jax.Array, y: jax.Array) -> jax.Array:
 def fsimc(x: jax.Array, y: jax.Array) -> jax.Array:
     """FSIMc (luma + IQ chrominance) per-image scores."""
     return _fsim_impl(x, y)[1]
+
+
+# ---------------------------------------------------------------------------
+# NLPD (Laparra, Ballé, Berardino & Simoncelli 2016) — the remaining
+# classical competitor row of the reference's results tables
+# (results_table.tex NLPD column). Normalized Laplacian pyramid distance:
+# a 6-level Laplacian pyramid (Burt-Adelson a=0.4 five-tap) on luminance,
+# each subband divisively normalized by a 3x3 local-amplitude filter plus
+# a per-scale sigma (the authors' released DN_filters constants,
+# transcribed below), distance = mean over subbands of per-band RMSE.
+# Lower is better; 0 for identical inputs.
+# ---------------------------------------------------------------------------
+
+_NLPD_LAP_TAPS = np.asarray([0.05, 0.25, 0.4, 0.25, 0.05], np.float32)
+_NLPD_SIGMAS = (0.0248, 0.0185, 0.0179, 0.0191, 0.0220, 0.2782)
+_NLPD_DN_FILTS = tuple(
+    np.asarray([[0.0, a, 0.0], [b, 0.0, c], [0.0, d, 0.0]], np.float32)
+    for a, b, c, d in (
+        (0.1011, 0.1493, 0.1460, 0.1015),
+        (0.0757, 0.1986, 0.1846, 0.0837),
+        (0.0477, 0.2138, 0.2243, 0.0467),
+        (0.0555, 0.2116, 0.2123, 0.0514),
+        (0.0078, 0.2350, 0.2400, 0.0328),
+        (0.0018, 0.2520, 0.2541, 0.0004),
+    )
+)
+
+
+def _nlpd_conv(x: jax.Array, k2d, pad: int, stride: int = 1) -> jax.Array:
+    """Reflect-padded dense 2-D correlation over an NHW batch."""
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    k = jnp.asarray(k2d, jnp.float32)[:, :, None, None]
+    return jax.lax.conv_general_dilated(
+        xp[..., None], k, (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[..., 0]
+
+
+def _nlpd_up(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Zero-stuffed 2x upsample + 4*filt interpolation (NHW), cropped to
+    (out_h, out_w) so odd parent sizes round-trip."""
+    k = np.outer(_NLPD_LAP_TAPS, _NLPD_LAP_TAPS) * 4.0
+    y = jax.lax.conv_general_dilated(
+        x[..., None], jnp.asarray(k, jnp.float32)[:, :, None, None],
+        (1, 1), [(2, 3), (2, 3)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[..., 0]
+    return y[:, :out_h, :out_w]
+
+
+def _nlpd_pyramid(im: jax.Array, levels: int) -> list[jax.Array]:
+    """Normalized Laplacian subbands of an NHW luminance batch."""
+    lap_k = np.outer(_NLPD_LAP_TAPS, _NLPD_LAP_TAPS)
+    bands = []
+    for i in range(levels - 1):
+        down = _nlpd_conv(im, lap_k, pad=2, stride=2)
+        up = _nlpd_up(down, im.shape[1], im.shape[2])
+        lap = im - up
+        den = _nlpd_conv(jnp.abs(lap), _NLPD_DN_FILTS[i], pad=1)
+        bands.append(lap / (den + _NLPD_SIGMAS[i]))
+        im = down
+    den = _nlpd_conv(jnp.abs(im), _NLPD_DN_FILTS[levels - 1], pad=1)
+    bands.append(im / (den + _NLPD_SIGMAS[levels - 1]))
+    return bands
+
+
+def nlpd(x: jax.Array, y: jax.Array, levels: int = 6) -> jax.Array:
+    """Per-image NLPD over NHWC [0,1] batches (lower is better). Needs
+    min side >= 3 * 2^(levels-1) so the deepest level still fits the
+    5-tap reflect pad; pass a smaller ``levels`` for tiny images."""
+    p1 = _nlpd_pyramid(_lum255(x) / 255.0, levels)
+    p2 = _nlpd_pyramid(_lum255(y) / 255.0, levels)
+    dist = 0.0
+    for a, b in zip(p1, p2):
+        dist = dist + jnp.sqrt(
+            jnp.mean(jnp.square(a - b), axis=(1, 2)) + 1e-12)
+    return dist / float(levels)

@@ -98,6 +98,8 @@ class PairScorer:
                     self._iqa["FSIM"] = jax.jit(iqa.fsim)
                 elif name == "fsimc":
                     self._iqa["FSIMc"] = jax.jit(iqa.fsimc)
+                elif name == "nlpd":
+                    self._iqa["NLPD"] = jax.jit(iqa.nlpd)
                 else:
                     raise SystemExit(f"unknown --iqa metric {name!r}")
 
@@ -154,7 +156,8 @@ def main(argv=None):
     p.add_argument("--output-csv", default=None)
     p.add_argument("--iqa", default="",
                    help="comma-separated comparison-metric columns to add "
-                        "(psnr,ssim,ms-ssim,lpips,gmsd,vif,fsim,fsimc) — "
+                        "(psnr,ssim,ms-ssim,lpips,gmsd,vif,fsim,fsimc,"
+                        "nlpd) — "
                         "the reference "
                         "consumed these from external CSVs "
                         "(prep.py:344-394); computed natively here")

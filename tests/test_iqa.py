@@ -314,3 +314,72 @@ def test_lpips_lin_weight_converter():
     uniform = float(np.asarray(lpips(vgg, x, y))[0])
     weighted = float(np.asarray(lpips(vgg, x, y, lin))[0])
     assert np.isfinite(weighted) and abs(weighted - uniform) > 1e-6
+
+
+def test_nlpd_identical_is_zero_and_orders_distortions():
+    from nerf_qa_tpu.eval.iqa import nlpd
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 96, 128, 3), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(nlpd(x, x)), 0.0, atol=1e-5)
+    mild = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.03, x.shape).astype(np.float32)), 0, 1)
+    severe = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.15, x.shape).astype(np.float32)), 0, 1)
+    d_mild = np.asarray(nlpd(x, mild))
+    d_severe = np.asarray(nlpd(x, severe))
+    assert (d_mild > 1e-4).all()
+    assert (d_severe > d_mild).all()
+
+
+def test_nlpd_matches_direct_formula():
+    """Cross-check against an independent dense torch implementation of
+    the normalized Laplacian pyramid (reflect-padded 5-tap down, zero-
+    stuffed 4*filt up, 3x3 divisive normalization, per-band RMSE mean)."""
+    import torch
+    import torch.nn.functional as F
+
+    from nerf_qa_tpu.eval.iqa import (
+        _NLPD_DN_FILTS, _NLPD_LAP_TAPS, _NLPD_SIGMAS, nlpd,
+    )
+
+    rng = np.random.default_rng(12)
+    x = rng.random((1, 48, 64, 3), dtype=np.float32)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape).astype(np.float32), 0, 1)
+    levels = 4
+    ours = float(np.asarray(
+        nlpd(jnp.asarray(x), jnp.asarray(y), levels=levels))[0])
+
+    lap_k = torch.from_numpy(
+        np.outer(_NLPD_LAP_TAPS, _NLPD_LAP_TAPS))[None, None]
+
+    def lum(v):
+        v = torch.from_numpy(v).permute(0, 3, 1, 2)
+        return 0.299 * v[:, :1] + 0.587 * v[:, 1:2] + 0.114 * v[:, 2:3]
+
+    def pyramid(im):
+        bands = []
+        for i in range(levels - 1):
+            down = F.conv2d(F.pad(im, (2, 2, 2, 2), mode="reflect"),
+                            lap_k, stride=2)
+            z = torch.zeros(1, 1, down.shape[2] * 2 - 1,
+                            down.shape[3] * 2 - 1)
+            z[:, :, ::2, ::2] = down
+            up = F.conv2d(F.pad(z, (2, 3, 2, 3)), lap_k * 4.0)
+            lap = im - up[:, :, : im.shape[2], : im.shape[3]]
+            den = F.conv2d(F.pad(lap.abs(), (1, 1, 1, 1), mode="reflect"),
+                           torch.from_numpy(_NLPD_DN_FILTS[i])[None, None])
+            bands.append(lap / (den + _NLPD_SIGMAS[i]))
+            im = down
+        den = F.conv2d(F.pad(im.abs(), (1, 1, 1, 1), mode="reflect"),
+                       torch.from_numpy(
+                           _NLPD_DN_FILTS[levels - 1])[None, None])
+        bands.append(im / (den + _NLPD_SIGMAS[levels - 1]))
+        return bands
+
+    p1, p2 = pyramid(lum(x)), pyramid(lum(y))
+    want = float(np.mean([
+        torch.sqrt(((a - b) ** 2).mean() + 1e-12).item()
+        for a, b in zip(p1, p2)
+    ]))
+    np.testing.assert_allclose(ours, want, rtol=1e-4)
