@@ -1,5 +1,5 @@
 """Classical IQA metrics: PSNR, SSIM, MS-SSIM, LPIPS, GMSD, VIF,
-FSIM/FSIMc, NLPD (batched, jittable).
+FSIM/FSIMc, NLPD, MAD (batched, jittable).
 
 The reference's prep/analysis compare DISTS against SSIM/PSNR/LPIPS/...
 columns shipped inside its score CSVs (prep.py:344-394,
@@ -573,3 +573,204 @@ def nlpd(x: jax.Array, y: jax.Array, levels: int = 6) -> jax.Array:
         dist = dist + jnp.sqrt(
             jnp.mean(jnp.square(a - b), axis=(1, 2)) + 1e-12)
     return dist / float(levels)
+
+
+# ---------------------------------------------------------------------------
+# MAD (Larson & Chandler 2010, "Most apparent distortion") — the last
+# classical (constant-only, no learned weights) competitor row of the
+# reference's Test2 results table (results_table_test2.tex:13). Two
+# strategies combined adaptively:
+#   * detection (hi-quality) index: perceived luminance (k*I)^(2.2/3),
+#     Mannos–Sakrison-style CSF in the frequency domain, then visible
+#     local MSE gated by an RMS-contrast masking model over 16x16
+#     blocks (stride 4; reference block std = min of the four 8x8
+#     sub-block stds so edges don't over-mask);
+#   * appearance (lo-quality) index: a 5-scale x 4-orientation
+#     log-Gabor decomposition (Kovesi gaborconvolve constants:
+#     minWaveLength 3, mult 3, sigmaOnf 0.55, dThetaOnSigma 1.5) whose
+#     magnitudes are compared by blockwise std/skewness/kurtosis
+#     differences with scale weights [0.5 0.75 1 5 6]/13.25.
+# Final score = d_detect^a * d_appear^(1-a), a = 1/(1 + b1*d_detect^b2),
+# b1=0.467, b2=0.130. 0 for identical images; higher = worse quality.
+# Block maps use VALID windows (no boundary blocks), which replaces the
+# original's border-block zeroing.
+# ---------------------------------------------------------------------------
+
+_MAD_BLOCK = 16
+_MAD_STRIDE = 4
+_MAD_BETA1 = 0.467
+_MAD_BETA2 = 0.130
+_MAD_GABOR_WEIGHTS = np.asarray([0.5, 0.75, 1.0, 5.0, 6.0], np.float32)
+_MAD_GABOR_WEIGHTS /= _MAD_GABOR_WEIGHTS.sum()
+
+
+def _mad_csf(rows: int, cols: int) -> np.ndarray:
+    """Frequency-domain CSF (ifftshift layout): Mannos–Sakrison curve
+    with the oblique effect, 32 cycles/degree across the image, and the
+    original's low-frequency plateau 0.9809 below 7.8909 cyc/deg."""
+    nfreq = 32.0
+    u = np.arange(-(cols - 1) / 2.0, (cols + 1) / 2.0) / cols * 2 * nfreq
+    v = np.arange(-(rows - 1) / 2.0, (rows + 1) / 2.0) / rows * 2 * nfreq
+    ug, vg = np.meshgrid(u, v)
+    radfreq = np.sqrt(ug * ug + vg * vg)
+    w = 0.7
+    s = (1 - w) / 2 * np.cos(4 * np.arctan2(vg, ug)) + (1 + w) / 2
+    radfreq = radfreq / s
+    csf = 2.6 * (0.0192 + 0.114 * radfreq) * np.exp(-((0.114 * radfreq) ** 1.1))
+    csf[radfreq < 7.8909] = 0.9809
+    return np.fft.ifftshift(csf).astype(np.float32)
+
+
+def _mad_window_mean(v: jax.Array, block: int, stride: int) -> jax.Array:
+    """Blockwise mean over an NHW batch (VALID windows)."""
+    return jax.lax.reduce_window(
+        v, 0.0, jax.lax.add, (1, block, block), (1, stride, stride), "VALID"
+    ) / float(block * block)
+
+
+def _mad_window_std(v: jax.Array, block: int, stride: int) -> jax.Array:
+    m1 = _mad_window_mean(v, block, stride)
+    m2 = _mad_window_mean(v * v, block, stride)
+    return jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0))
+
+
+def _mad_min_subblock_std(v: jax.Array) -> jax.Array:
+    """Per 16x16 stride-4 block: min std over its four 8x8 sub-blocks."""
+    s8 = _mad_window_std(v, _MAD_BLOCK // 2, _MAD_STRIDE)
+    # 16x16 block at window index q covers 8x8 windows {q, q+2}^2
+    n, h8, w8 = s8.shape
+    h16, w16 = h8 - 2, w8 - 2
+    out = s8[:, :h16, :w16]
+    for di, dj in ((0, 2), (2, 0), (2, 2)):
+        out = jnp.minimum(out, s8[:, di:di + h16, dj:dj + w16])
+    return out
+
+
+def _mad_detect(ref_lum: jax.Array, dst_lum: jax.Array) -> jax.Array:
+    """Detection-stage index over NHW [0,255] luminance batches."""
+    k = 0.02874
+    g_thr = 0.5
+    c_slope, ci_thr, cd_thr = 1.0, -5.0, -5.0
+    n, rows, cols = ref_lum.shape
+    csf = jnp.asarray(_mad_csf(rows, cols))
+
+    def perceived(v):
+        lum = (k * jnp.maximum(v, 0.0) + 1e-12) ** (2.2 / 3.0)
+        return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(lum) * csf))
+
+    ref = perceived(ref_lum)
+    dst = perceived(dst_lum)
+    err = ref - dst
+
+    mean_ref = _mad_window_mean(ref, _MAD_BLOCK, _MAD_STRIDE)
+    std_err = _mad_window_std(err, _MAD_BLOCK, _MAD_STRIDE)
+    std_ref = _mad_min_subblock_std(ref)
+
+    lit = mean_ref > g_thr
+    safe_mean = jnp.where(lit, mean_ref, 1.0)
+    ci_ref = jnp.where(
+        lit, jnp.log(jnp.maximum(std_ref, 1e-12) / safe_mean), -999.0)
+    ci_err = jnp.where(
+        lit, jnp.log(jnp.maximum(std_err, 1e-12) / safe_mean), -999.0)
+
+    msk = jnp.where(
+        ci_ref > ci_thr,
+        jnp.maximum(ci_err - (c_slope * (ci_ref - ci_thr) + cd_thr), 0.0),
+        jnp.maximum(ci_err - ci_thr, 0.0),
+    )
+    lmse = _mad_window_mean(err * err, _MAD_BLOCK, _MAD_STRIDE)
+    mp = msk * lmse
+    return jnp.sqrt(jnp.mean(jnp.square(mp), axis=(1, 2)) + 1e-24) * 200.0
+
+
+def _mad_gabor_filters(rows: int, cols: int) -> list[list[np.ndarray]]:
+    """Kovesi gaborconvolve log-Gabor bank (ifftshift layout), 5 scales
+    x 4 orientations, minWaveLength 3, mult 3, sigmaOnf 0.55,
+    dThetaOnSigma 1.5."""
+    nscale, norient = 5, 4
+    min_wl, mult, sigma_onf, dtheta_on_sigma = 3.0, 3.0, 0.55, 1.5
+    if cols % 2:
+        xr = np.arange(-(cols - 1) / 2, (cols - 1) / 2 + 1) / (cols - 1)
+    else:
+        xr = np.arange(-cols / 2, cols / 2) / cols
+    if rows % 2:
+        yr = np.arange(-(rows - 1) / 2, (rows - 1) / 2 + 1) / (rows - 1)
+    else:
+        yr = np.arange(-rows / 2, rows / 2) / rows
+    xg, yg = np.meshgrid(xr, yr)
+    radius = np.fft.ifftshift(np.sqrt(xg * xg + yg * yg))
+    radius[0, 0] = 1.0
+    theta = np.fft.ifftshift(np.arctan2(-yg, xg))
+    sintheta, costheta = np.sin(theta), np.cos(theta)
+    theta_sigma = np.pi / norient / dtheta_on_sigma
+
+    radial = []
+    for s in range(nscale):
+        fo = 1.0 / (min_wl * mult**s)
+        g = np.exp(-np.log(radius / fo) ** 2 / (2.0 * np.log(sigma_onf) ** 2))
+        g[0, 0] = 0.0
+        radial.append(g)
+    banks = []
+    for o in range(norient):
+        angl = o * np.pi / norient
+        ds = sintheta * np.cos(angl) - costheta * np.sin(angl)
+        dc = costheta * np.cos(angl) + sintheta * np.sin(angl)
+        spread = np.exp(-np.arctan2(np.abs(ds), dc) ** 2
+                        / (2.0 * theta_sigma**2))
+        banks.append([(radial[s] * spread).astype(np.float32)
+                      for s in range(nscale)])
+    return banks
+
+
+def _mad_block_stats(v: jax.Array):
+    """Blockwise (16x16 stride 4) std, skewness, kurtosis of an NHW
+    batch. The image's global mean is subtracted first (central moments
+    are shift-invariant; this tames the fp32 cancellation in the raw
+    third/fourth moments)."""
+    v = v - jnp.mean(v, axis=(1, 2), keepdims=True)
+    m1 = _mad_window_mean(v, _MAD_BLOCK, _MAD_STRIDE)
+    m2 = _mad_window_mean(v * v, _MAD_BLOCK, _MAD_STRIDE)
+    m3 = _mad_window_mean(v * v * v, _MAD_BLOCK, _MAD_STRIDE)
+    m4 = _mad_window_mean(v * v * v * v, _MAD_BLOCK, _MAD_STRIDE)
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    m3c = m3 - 3.0 * m1 * m2 + 2.0 * m1**3
+    m4c = m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1**4
+    ok = var > 1e-12
+    safe = jnp.where(ok, var, 1.0)
+    std = jnp.sqrt(var)
+    skw = jnp.where(ok, m3c / safe**1.5, 0.0)
+    krt = jnp.where(ok, m4c / (safe * safe), 0.0)
+    return std, skw, krt
+
+
+def _mad_appear(ref_lum: jax.Array, dst_lum: jax.Array) -> jax.Array:
+    """Appearance-stage index over NHW [0,255] luminance batches."""
+    n, rows, cols = ref_lum.shape
+    banks = _mad_gabor_filters(rows, cols)
+    fref = jnp.fft.fft2(ref_lum.astype(jnp.float32))
+    fdst = jnp.fft.fft2(dst_lum.astype(jnp.float32))
+    eta = 0.0
+    for bank in banks:
+        for s, filt in enumerate(bank):
+            fj = jnp.asarray(filt)
+            mag_r = jnp.abs(jnp.fft.ifft2(fref * fj))
+            mag_d = jnp.abs(jnp.fft.ifft2(fdst * fj))
+            std_r, skw_r, krt_r = _mad_block_stats(mag_r)
+            std_d, skw_d, krt_d = _mad_block_stats(mag_d)
+            eta = eta + float(_MAD_GABOR_WEIGHTS[s]) * (
+                jnp.abs(std_r - std_d) + 2.0 * jnp.abs(skw_r - skw_d)
+                + jnp.abs(krt_r - krt_d))
+    return jnp.sqrt(jnp.mean(jnp.square(eta), axis=(1, 2)) + 1e-24)
+
+
+def mad(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-image MAD over NHWC [0,1] batches; ``x`` is the reference.
+    Higher is worse; 0 for identical inputs. Needs min side >= 16."""
+    ref = _lum255(x)
+    dst = _lum255(y)
+    d_detect = _mad_detect(ref, dst)
+    d_appear = _mad_appear(ref, dst)
+    alpha = 1.0 / (1.0 + _MAD_BETA1 * jnp.maximum(d_detect, 1e-12)
+                   ** _MAD_BETA2)
+    return (jnp.maximum(d_detect, 0.0) ** alpha
+            * jnp.maximum(d_appear, 0.0) ** (1.0 - alpha))

@@ -100,6 +100,8 @@ class PairScorer:
                     self._iqa["FSIMc"] = jax.jit(iqa.fsimc)
                 elif name == "nlpd":
                     self._iqa["NLPD"] = jax.jit(iqa.nlpd)
+                elif name == "mad":
+                    self._iqa["MAD"] = jax.jit(iqa.mad)
                 else:
                     raise SystemExit(f"unknown --iqa metric {name!r}")
 
@@ -157,7 +159,7 @@ def main(argv=None):
     p.add_argument("--iqa", default="",
                    help="comma-separated comparison-metric columns to add "
                         "(psnr,ssim,ms-ssim,lpips,gmsd,vif,fsim,fsimc,"
-                        "nlpd) — "
+                        "nlpd,mad) — "
                         "the reference "
                         "consumed these from external CSVs "
                         "(prep.py:344-394); computed natively here")

@@ -383,3 +383,72 @@ def test_nlpd_matches_direct_formula():
         for a, b in zip(p1, p2)
     ]))
     np.testing.assert_allclose(ours, want, rtol=1e-4)
+
+
+def test_mad_identical_is_zero_and_orders_distortions():
+    """Smooth (low-passed) carrier: a white-noise carrier would be
+    degenerate here — its contrast legitimately masks ALL the added
+    noise (detection index 0, MAD ~ 0 by the adaptive combination)."""
+    from nerf_qa_tpu.eval.iqa import mad
+
+    rng = np.random.default_rng(13)
+    coarse = rng.random((2, 6, 8, 3), dtype=np.float32)
+    x = jnp.asarray(np.kron(coarse, np.ones((1, 16, 16, 1), np.float32)))
+    np.testing.assert_allclose(np.asarray(mad(x, x)), 0.0, atol=1e-3)
+    mild = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.03, x.shape).astype(np.float32)), 0, 1)
+    severe = jnp.clip(x + jnp.asarray(
+        rng.normal(0, 0.15, x.shape).astype(np.float32)), 0, 1)
+    d_mild = np.asarray(mad(x, mild))
+    d_severe = np.asarray(mad(x, severe))
+    assert (d_mild > 1e-3).all()
+    assert (d_severe > d_mild).all()
+
+
+def test_mad_block_stats_match_loops():
+    """Cross-check the windowed-conv block statistics (std/skew/kurt and
+    the min-of-8x8-sub-block std) against explicit numpy block loops."""
+    from nerf_qa_tpu.eval.iqa import (
+        _MAD_BLOCK, _MAD_STRIDE, _mad_block_stats, _mad_min_subblock_std,
+    )
+
+    rng = np.random.default_rng(14)
+    v = rng.normal(0, 1, (1, 40, 48)).astype(np.float32)
+    std_j, skw_j, krt_j = (np.asarray(a)[0]
+                           for a in _mad_block_stats(jnp.asarray(v)))
+    min_j = np.asarray(_mad_min_subblock_std(jnp.asarray(v)))[0]
+
+    h_out = (40 - _MAD_BLOCK) // _MAD_STRIDE + 1
+    w_out = (48 - _MAD_BLOCK) // _MAD_STRIDE + 1
+    assert std_j.shape == (h_out, w_out) == min_j.shape
+    for bi in range(h_out):
+        for bj in range(w_out):
+            blk = v[0, bi * 4:bi * 4 + 16, bj * 4:bj * 4 + 16]
+            mu, sd = blk.mean(), blk.std()
+            np.testing.assert_allclose(std_j[bi, bj], sd, atol=1e-4)
+            z = (blk - mu) / sd
+            np.testing.assert_allclose(skw_j[bi, bj], (z**3).mean(),
+                                       atol=1e-2)
+            np.testing.assert_allclose(krt_j[bi, bj], (z**4).mean(),
+                                       atol=1e-2)
+            subs = [blk[a:a + 8, b:b + 8].std()
+                    for a in (0, 8) for b in (0, 8)]
+            np.testing.assert_allclose(min_j[bi, bj], min(subs), atol=1e-4)
+
+
+def test_mad_detection_masking_hides_noise_in_texture():
+    """The contrast-masking model is MAD's core idea: the same additive
+    noise must be MORE visible (higher detection index) on a smooth
+    region than on a high-contrast textured region."""
+    from nerf_qa_tpu.eval.iqa import _mad_detect
+
+    rng = np.random.default_rng(15)
+    h = w = 96
+    smooth = np.full((h, w), 0.5, np.float32) * 255.0
+    texture = (rng.random((h, w)).astype(np.float32) * 255.0)
+    noise = rng.normal(0, 8.0, (h, w)).astype(np.float32)
+    d_smooth = float(np.asarray(_mad_detect(
+        jnp.asarray(smooth[None]), jnp.asarray((smooth + noise)[None])))[0])
+    d_texture = float(np.asarray(_mad_detect(
+        jnp.asarray(texture[None]), jnp.asarray((texture + noise)[None])))[0])
+    assert d_smooth > d_texture > 0.0
