@@ -1,28 +1,138 @@
 """Headline benchmark: 1080p frames/sec/chip DISTS scoring.
 
-Pipeline under test (the reference's per-video eval path, run_test2.py:278-297,
-rebuilt TPU-native): 1080p uint8 frame pairs -> f32 -> bilinear resize
-256x256 (MXU matmul formulation) -> VGG16 pyramid (bf16 MXU convs) ->
-fused DISTS statistics -> per-frame scores.
+Pipeline under test (the reference's per-video eval path,
+run_test2.py:278-297, rebuilt TPU-native): 1080p uint8 frame pairs ->
+f32 -> bilinear resize 256x256 (MXU matmul formulation) -> VGG16
+pyramid (bf16 MXU convs) -> fused DISTS statistics -> per-frame scores.
 
-The headline measures the on-chip pipeline with device-resident inputs
-(cycling K distinct batches): in production frames stream from the host
-decode pipeline and stay resident. Host->device transfer rates are
-reported in ``detail`` — in this build environment the TPU sits behind a
-network tunnel whose H2D bandwidth (<0.5 GB/s, degrading with buffer
-size) is an artifact of the harness, not of the framework or chip.
+Emission protocol (the round-4 failure was a single end-of-run print
+wiped out by a timeout):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
+* The headline's random 1080p inputs are generated ON DEVICE with
+  ``jax.random`` — FLOP/memory-identical to host-fed frames; in
+  production frames stream from the host decode pipeline and stay
+  resident. Host->device transfer is measured separately by a SMALL
+  (~100 MB) probe, because in this build environment the TPU sits
+  behind a network tunnel whose H2D bandwidth (0.04-1.5 GB/s across
+  rounds) is a harness artifact, not the framework or chip.
+* A parseable one-line JSON result
+  {"metric", "value", "unit", "vs_baseline", "detail"} is printed to
+  stdout AS SOON AS the headline is measured, then re-emitted enriched
+  after every additional section. Progress goes to stderr; stdout
+  carries only JSON lines, last line = most complete result.
+* Sections after the headline run under a total wall-clock budget
+  (env NERF_QA_TPU_BENCH_BUDGET_S, default 420 s). A section whose
+  minimum time no longer fits is recorded as ``skipped (budget)``
+  instead of hanging the run; subprocess sections are bounded by the
+  remaining budget and their partial JSON is kept on timeout.
+
 vs_baseline = fps / 500 (BASELINE.json north-star target for v5e).
 """
+from __future__ import annotations
+
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _log(msg: str) -> None:
+    print(f"bench: {msg}", file=sys.stderr, flush=True)
+
+
+class Bench:
+    """Budget bookkeeping + incremental JSON emission."""
+
+    def __init__(self, budget_s: float) -> None:
+        self.t0 = time.monotonic()
+        self.budget_s = budget_s
+        self.result: dict = {}
+        self.sections: dict[str, dict] = {}
+
+    def remaining(self) -> float:
+        return self.budget_s - (time.monotonic() - self.t0)
+
+    def emit(self) -> None:
+        self.result.setdefault("detail", {})["sections"] = self.sections
+        print(json.dumps(self.result), flush=True)
+
+    def run_section(self, name: str, floor_s: float, fn) -> None:
+        """Run one optional section if >= floor_s of budget remains;
+        record elapsed/skip/error and re-emit the enriched JSON."""
+        rem = self.remaining()
+        if rem < floor_s:
+            _log(f"{name}: skipped (budget: {rem:.0f}s left < "
+                 f"{floor_s:.0f}s floor)")
+            self.sections[name] = {"status": "skipped (budget)"}
+            self.emit()
+            return
+        _log(f"{name}: start ({rem:.0f}s budget left)")
+        t0 = time.monotonic()
+        try:
+            fn()
+        except Exception as e:  # keep later sections + the headline
+            self.sections[name] = {
+                "status": "error",
+                "error": f"{type(e).__name__}: {e}",
+                "elapsed_s": round(time.monotonic() - t0, 1),
+            }
+            _log(f"{name}: ERROR {type(e).__name__}: {e}")
+        else:
+            dt = time.monotonic() - t0
+            self.sections[name] = {"status": "ok",
+                                   "elapsed_s": round(dt, 1)}
+            _log(f"{name}: ok ({dt:.1f}s)")
+        self.emit()
+
+    def run_json_subprocess(self, argv: list[str],
+                            timeout_s: float) -> tuple[dict | None, object]:
+        """Run a child, return (last parseable stdout JSON line, rc).
+        On timeout the partial stdout is still parsed (rc='timeout')."""
+        try:
+            proc = subprocess.run(
+                argv, cwd=_REPO, capture_output=True, text=True,
+                timeout=timeout_s,
+            )
+            out, rc = proc.stdout or "", proc.returncode
+            if proc.returncode != 0:
+                _log(f"subprocess rc={proc.returncode}: "
+                     f"{(proc.stderr or '').strip()[-500:]}")
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout or ""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            rc = "timeout"
+            _log(f"subprocess timeout after {timeout_s:.0f}s: "
+                 f"{' '.join(argv[-6:])}")
+        last = None
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    last = json.loads(line)
+                except ValueError:
+                    pass
+        return last, rc
+
 
 def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("batch", nargs="?", type=int, default=128)
+    p.add_argument("iters", nargs="?", type=int, default=20)
+    p.add_argument("--tiny", action="store_true",
+                   help="protocol smoke mode: small shapes, CPU-friendly "
+                        "(tests/test_bench_protocol.py)")
+    args = p.parse_args()
+
+    budget = float(os.environ.get("NERF_QA_TPU_BENCH_BUDGET_S", "420"))
+    bench = Bench(budget)
+
     # compile time is not part of any measured number; cache repeat runs
     from nerf_qa_tpu.utils.compilation_cache import enable_persistent_cache
 
@@ -35,12 +145,16 @@ def main() -> None:
         resolve_dists_weights,
         resolve_vgg_params,
     )
-    from nerf_qa_tpu.config import DISTSConfig
-    from nerf_qa_tpu.core import dists
+    from nerf_qa_tpu.config import ADISTSConfig, DISTSConfig
+    from nerf_qa_tpu.core import adists, dists
     from nerf_qa_tpu.ops.resize import resize_bilinear
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    if args.tiny:
+        batch, iters = min(args.batch, 4), min(args.iters, 3)
+        frame_hw, score_size = (96, 128), 64
+    else:
+        batch, iters, frame_hw, score_size = (
+            args.batch, args.iters, (1080, 1920), 256)
     n_buffers = 4
 
     # Pretrained VGG16 via $NERF_QA_VGG_CKPT when available; random
@@ -58,166 +172,236 @@ def main() -> None:
 
     @jax.jit
     def pipeline(d_u8, r_u8):
-        x = resize_bilinear(d_u8, 256, 256, **fast_resize)
-        y = resize_bilinear(r_u8, 256, 256, **fast_resize)
+        x = resize_bilinear(d_u8, score_size, score_size, **fast_resize)
+        y = resize_bilinear(r_u8, score_size, score_size, **fast_resize)
         return dists.forward(params, weights, x, y, cfg)
 
-    rng = np.random.default_rng(0)
-    host_pairs = [
-        (
-            rng.integers(0, 256, (batch, 1080, 1920, 3), dtype=np.uint8),
-            rng.integers(0, 256, (batch, 1080, 1920, 3), dtype=np.uint8),
-        )
-        for _ in range(n_buffers)
-    ]
+    # ---- headline (required; emitted the moment it is measured) ------
+    _log(f"headline: generating {2 * n_buffers} device-resident "
+         f"{frame_hw[0]}x{frame_hw[1]} uint8 buffers (batch {batch})")
 
-    # measure H2D once (informational)
+    @jax.jit
+    def gen_u8(key):
+        return jax.random.bits(
+            key, (batch, frame_hw[0], frame_hw[1], 3), dtype=jnp.uint8
+        )
+
     t0 = time.perf_counter()
+    keys = jax.random.split(jax.random.key(0), 2 * n_buffers)
     dev_pairs = [
-        (jax.device_put(d), jax.device_put(r)) for d, r in host_pairs
+        (gen_u8(keys[2 * i]), gen_u8(keys[2 * i + 1]))
+        for i in range(n_buffers)
     ]
     jax.block_until_ready(dev_pairs)
-    h2d_s = time.perf_counter() - t0
-    h2d_bytes = sum(d.nbytes + r.nbytes for d, r in host_pairs)
+    devgen_s = time.perf_counter() - t0
+    _log(f"headline: devgen {devgen_s:.1f}s; compiling pipeline")
 
-    # compile + settle
+    t0 = time.perf_counter()
     out = pipeline(*dev_pairs[0])
     _ = np.asarray(out)
+    compile_s = time.perf_counter() - t0
+    _log(f"headline: compile+first-call {compile_s:.1f}s; measuring")
 
-    # headline: on-chip pipeline, cycling distinct device-resident batches
     t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        outs.append(pipeline(*dev_pairs[i % n_buffers]))
+    outs = [pipeline(*dev_pairs[i % n_buffers]) for i in range(iters)]
     jax.block_until_ready(outs)
     _ = np.asarray(outs[-1])
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 
-    # e2e variant including fresh H2D each call (tunnel-bound here)
-    t0 = time.perf_counter()
-    out = pipeline(
-        jax.device_put(host_pairs[0][0]), jax.device_put(host_pairs[0][1])
-    )
-    _ = np.asarray(out)
-    dt_e2e = time.perf_counter() - t0
-    fps_e2e = batch / dt_e2e
+    bench.result = {
+        "metric": "1080p_frames_per_sec_per_chip_dists",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 500.0, 4),
+        "detail": {
+            "batch": batch,
+            "iters": iters,
+            "frame_hw": list(frame_hw),
+            "device": str(jax.devices()[0]),
+            "pipeline": "devgen u8 -> bf16 MXU resize256 -> VGG16 bf16 "
+                        "-> DISTS stats (pallas/XLA auto by stage size)",
+            "fps_device_pipeline": round(fps, 2),
+            "devgen_s": round(devgen_s, 1),
+            "compile_s": round(compile_s, 1),
+            "budget_s": budget,
+        },
+    }
+    bench.sections["headline"] = {
+        "status": "ok",
+        "elapsed_s": round(time.monotonic() - bench.t0, 1),
+    }
+    _log(f"headline: {fps:.1f} frames/s")
+    bench.emit()
+    detail = bench.result["detail"]
 
-    # secondary: ADISTS scoring throughput (same resize front-end)
-    from nerf_qa_tpu.config import ADISTSConfig
-    from nerf_qa_tpu.core import adists
-
-    acfg = ADISTSConfig(compute_dtype="bfloat16")
-
-    @jax.jit
-    def pipeline_adists(d_u8, r_u8):
-        x = resize_bilinear(d_u8, 256, 256, **fast_resize)
-        y = resize_bilinear(r_u8, 256, 256, **fast_resize)
-        return adists.forward(params, x, y, acfg, as_loss=False)
-
-    out = pipeline_adists(*dev_pairs[0])
-    _ = np.asarray(out)
-    t0 = time.perf_counter()
-    outs = [pipeline_adists(*dev_pairs[i % n_buffers]) for i in range(iters)]
-    jax.block_until_ready(outs)
-    _ = np.asarray(outs[-1])
-    fps_adists = batch * iters / (time.perf_counter() - t0)
-
-    # full-resolution (no-downscale) scoring at native 1080p: DISTS via
-    # fused Pallas moments, ADISTS via the channel-blocked windowed path.
-    # Free the big resize-pipeline buffers first (batch 128 keeps ~6 GB
-    # resident, which distorts the HBM-bound full-res timings).
-    fr_batch, fr_iters = 2, 8
-    fr_pairs = [
-        (
-            jnp.asarray(d[:fr_batch].astype(np.float32) / 255.0),
-            jnp.asarray(r[:fr_batch].astype(np.float32) / 255.0),
+    # ---- small H2D probe (informational; the tunnel is the harness) --
+    def h2d_probe():
+        nb = 2 if args.tiny else 16
+        host = np.random.default_rng(0).integers(
+            0, 256, (nb, 1080, 1920, 3), dtype=np.uint8)
+        t0 = time.perf_counter()
+        dev = jax.device_put(host)
+        jax.block_until_ready(dev)
+        dt = time.perf_counter() - t0
+        detail["h2d_gbps"] = round(host.nbytes / dt / 1e9, 3)
+        detail["h2d_probe_mb"] = round(host.nbytes / 1e6)
+        detail["h2d_note"] = (
+            "TPU reached via a network tunnel in this environment; "
+            "H2D is harness-bound"
         )
-        for d, r in host_pairs[:2]
-    ]
-    jax.block_until_ready(fr_pairs)
-    del dev_pairs, out, outs
-    import gc
+        del dev
 
-    gc.collect()
+    bench.run_section("h2d_probe", 30.0, h2d_probe)
 
-    @jax.jit
-    def dists_fullres(x, y):
-        return dists.forward(params, weights, x, y, cfg)
+    # ---- ADISTS @256 (same resize front-end, headline buffers) -------
+    def adists_256():
+        acfg = ADISTSConfig(compute_dtype="bfloat16")
 
-    @jax.jit
-    def adists_fullres(x, y):
-        return adists.forward(params, x, y, acfg, as_loss=False)
+        @jax.jit
+        def pipeline_adists(d_u8, r_u8):
+            x = resize_bilinear(d_u8, score_size, score_size, **fast_resize)
+            y = resize_bilinear(r_u8, score_size, score_size, **fast_resize)
+            return adists.forward(params, x, y, acfg, as_loss=False)
 
-    def timed(fn):
-        out = fn(*fr_pairs[0])
+        out = pipeline_adists(*dev_pairs[0])
         _ = np.asarray(out)
         t0 = time.perf_counter()
-        outs = [fn(*fr_pairs[i % 2]) for i in range(fr_iters)]
+        outs = [pipeline_adists(*dev_pairs[i % n_buffers])
+                for i in range(iters)]
         jax.block_until_ready(outs)
-        return fr_batch * fr_iters / (time.perf_counter() - t0)
+        _ = np.asarray(outs[-1])
+        detail["fps_adists"] = round(
+            batch * iters / (time.perf_counter() - t0), 2)
 
-    fps_dists_fullres = timed(dists_fullres)
-    fps_adists_fullres = timed(adists_fullres)
+    bench.run_section("adists_256", 60.0, adists_256)
 
-    # host feed-rate: native C++ decode pool + overlapped decode/score
-    # (VERDICT r2 weak #3 — prove the host side, not just the chip)
-    try:
+    # ---- full-resolution 1080p scoring (fused Pallas moments DISTS,
+    # channel-blocked windowed ADISTS). Free the ~6 GB of headline
+    # buffers first — they distort the HBM-bound full-res timings. ----
+    def fullres():
+        nonlocal dev_pairs, out, outs
+        del dev_pairs, out, outs
+        import gc
+
+        gc.collect()
+        fr_batch, fr_iters = (1, 2) if args.tiny else (2, 8)
+
+        @jax.jit
+        def gen_f32(key):
+            return jax.random.uniform(
+                key, (fr_batch, frame_hw[0], frame_hw[1], 3), jnp.float32)
+
+        fkeys = jax.random.split(jax.random.key(1), 4)
+        fr_pairs = [(gen_f32(fkeys[2 * i]), gen_f32(fkeys[2 * i + 1]))
+                    for i in range(2)]
+        jax.block_until_ready(fr_pairs)
+        acfg = ADISTSConfig(compute_dtype="bfloat16")
+
+        @jax.jit
+        def dists_fullres(x, y):
+            return dists.forward(params, weights, x, y, cfg)
+
+        @jax.jit
+        def adists_fullres(x, y):
+            return adists.forward(params, x, y, acfg, as_loss=False)
+
+        def timed(fn):
+            o = fn(*fr_pairs[0])
+            _ = np.asarray(o)
+            t0 = time.perf_counter()
+            os_ = [fn(*fr_pairs[i % 2]) for i in range(fr_iters)]
+            jax.block_until_ready(os_)
+            return fr_batch * fr_iters / (time.perf_counter() - t0)
+
+        detail["fps_dists_fullres_1080p"] = round(timed(dists_fullres), 2)
+        if bench.remaining() > 45.0:
+            detail["fps_adists_fullres_1080p"] = round(
+                timed(adists_fullres), 2)
+        else:
+            bench.sections["fullres_adists"] = {
+                "status": "skipped (budget)"}
+
+    bench.run_section("fullres_1080p", 90.0, fullres)
+
+    # ---- NR model numbers (VERDICT r4 weak #3: put them in the
+    # artifact, not just prose) — serving forward @B=8 and the bf16r
+    # train step @B=4, each its own process (HBM/caching isolation). ---
+    def nr_serving():
+        tiny = ["--vit-depth", "1", "--iters", "2"] if args.tiny else []
+        res, rc = bench.run_json_subprocess(
+            [sys.executable, "-m", "nerf_qa_tpu.tools.bench_nr_step",
+             "--forward", "--batch", "2" if args.tiny else "8",
+             "--json"] + tiny,
+            timeout_s=bench.remaining(),
+        )
+        if res is None:
+            raise RuntimeError(f"no JSON from bench_nr_step (rc={rc})")
+        detail["fps_nr_serving_b8"] = res.get("frames_per_sec")
+        detail["ms_nr_serving_forward_b8"] = res.get("ms_forward")
+
+    bench.run_section("nr_serving", 60.0, nr_serving)
+
+    def nr_train():
+        tiny = ["--vit-depth", "1", "--iters", "2"] if args.tiny else []
+        res, rc = bench.run_json_subprocess(
+            [sys.executable, "-m", "nerf_qa_tpu.tools.bench_nr_step",
+             "--variant", "bf16r", "--batch", "2" if args.tiny else "4",
+             "--json"] + tiny,
+            timeout_s=bench.remaining(),
+        )
+        if res is None:
+            raise RuntimeError(f"no JSON from bench_nr_step (rc={rc})")
+        detail["ms_nr_train_step_b4"] = res.get("ms_per_step")
+        detail["fps_nr_train_b4"] = res.get("frames_per_sec")
+
+    bench.run_section("nr_train", 60.0, nr_train)
+
+    # ---- sustained end-to-end feed (VERDICT r4 item 6: >=500 frames
+    # through decode-pool -> prefetch -> device -> scores, per feed
+    # mode). The child emits cumulative JSON per mode, so a budget
+    # timeout preserves completed modes. ------------------------------
+    def feed_sustained():
+        argv = [sys.executable, "-m", "nerf_qa_tpu.tools.bench_feed",
+                "--json"]
+        if args.tiny:
+            argv += ["--tiny"]
+        res, rc = bench.run_json_subprocess(
+            argv, timeout_s=bench.remaining())
+        if res is None:
+            raise RuntimeError(f"no JSON from bench_feed (rc={rc})")
+        if rc == "timeout":
+            res["note"] = "budget timeout; completed modes kept"
+        detail["feed_sustained"] = res
+
+    bench.run_section("feed_sustained", 90.0, feed_sustained)
+
+    # ---- host decode-pool rate table + the feed-budget arithmetic ----
+    def host_decode():
         from nerf_qa_tpu.tools.bench_host_decode import run as host_run
 
-        host = host_run(frames=16, threads=(1, 2, 4), overlap=True)
-    except Exception as e:  # native lib missing etc. — keep the headline
-        host = {"error": f"{type(e).__name__}: {e}"}
+        host = host_run(frames=4 if args.tiny else 12,
+                        threads=(1,) if args.tiny else (1, 2, 4),
+                        overlap=False)
+        # feeding one chip at the headline device rate from JPEG frames
+        # costs this many host decode cores (a pair = TWO frames); the
+        # mitigations (uint8 caches, --feature-cache, MJPEG remux,
+        # N-core hosts) exist because this number is large.
+        for key, tag in (("fps_host_decode_jpeg_t1", "jpeg"),
+                         ("fps_host_decode_jpeg_fast_t1", "jpeg_fast")):
+            percore = host.get(key)
+            if percore:
+                host[f"host_cores_per_chip_{tag}"] = int(
+                    np.ceil(fps / percore))
+                host[f"host_cores_per_chip_{tag}_pairs"] = int(
+                    np.ceil(2 * fps / percore))
+        detail["host_decode"] = host
 
-    # the host-feed budget, stated (VERDICT r3 item 3): feeding one chip
-    # at the headline device rate from JPEG frames costs this many host
-    # decode cores. The mitigations (uint8 caches, --feature-cache, MJPEG
-    # remux, N-core hosts) exist because this number is large.
-    jpeg_percore = host.get("fps_host_decode_jpeg_t1") if isinstance(
-        host, dict) else None
-    if jpeg_percore:
-        host["host_cores_per_chip_jpeg"] = int(
-            np.ceil(fps / jpeg_percore))
-        # a pair needs TWO decoded frames; scoring N pairs/s decodes 2N
-        host["host_cores_per_chip_jpeg_pairs"] = int(
-            np.ceil(2 * fps / jpeg_percore))
-    # same arithmetic on the DCT-scaled fast-decode feed path
-    # (NERF_QA_TPU_FAST_DECODE=1, data/native.decode_resize)
-    jpeg_fast = host.get("fps_host_decode_jpeg_fast_t1") if isinstance(
-        host, dict) else None
-    if jpeg_fast:
-        host["host_cores_per_chip_jpeg_fast"] = int(
-            np.ceil(fps / jpeg_fast))
-        host["host_cores_per_chip_jpeg_fast_pairs"] = int(
-            np.ceil(2 * fps / jpeg_fast))
+    bench.run_section("host_decode", 45.0, host_decode)
 
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_frames_per_sec_per_chip_dists",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 500.0, 4),
-                "detail": {
-                    "batch": batch,
-                    "iters": iters,
-                    "device": str(jax.devices()[0]),
-                    "pipeline": "1080p u8 -> bf16 MXU resize256 -> VGG16 "
-                                "bf16 -> DISTS stats (pallas/XLA auto by "
-                                "stage size)",
-                    "fps_device_pipeline": round(fps, 2),
-                    "fps_adists": round(fps_adists, 2),
-                    "fps_dists_fullres_1080p": round(fps_dists_fullres, 2),
-                    "fps_adists_fullres_1080p": round(fps_adists_fullres, 2),
-                    "fps_including_h2d": round(fps_e2e, 2),
-                    "h2d_gbps": round(h2d_bytes / h2d_s / 1e9, 3),
-                    "h2d_note": "TPU reached via a network tunnel in this "
-                                "environment; H2D is harness-bound",
-                    "host_decode": host,
-                },
-            }
-        )
-    )
+    _log(f"done in {time.monotonic() - bench.t0:.0f}s "
+         f"(budget {budget:.0f}s)")
+    bench.emit()
 
 
 if __name__ == "__main__":

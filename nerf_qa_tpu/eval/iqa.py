@@ -192,7 +192,10 @@ def vif(x: jax.Array, y: jax.Array) -> jax.Array:
     Per-image scores over NHWC [0,1] batches; ``x`` is the reference
     image, ``y`` the distorted one. Higher is better; 1.0 for identical
     inputs, and >1 is possible for contrast-enhanced ``y`` (a known VIF
-    property).
+    property). Degenerate (constant, zero-information) reference images
+    return 0.0 by convention where the canonical vifp_mscale divides
+    0/0 into NaN — downstream aggregation treats them as
+    no-fidelity frames rather than poisoning video means.
 
     Algorithm: 4 scales; at scale s a Gaussian window of size
     N=2^(5-s)+1 (std N/5) computes local moments on luminance [0,255];
@@ -441,7 +444,9 @@ def _fsim_impl(x: jax.Array, y: jax.Array):
     y2, i2, q2 = yiq(y)
 
     rows, cols = y1.shape[1], y1.shape[2]
-    f = max(1, int(round(min(rows, cols) / 256.0)))
+    # MATLAB round() is half-away-from-zero; Python's round() banker's-
+    # rounds .5 boundaries down (640-px min side: F=3 in FSIM.m, not 2)
+    f = max(1, int(np.floor(min(rows, cols) / 256.0 + 0.5)))
     if f > 1:
         ave = np.full((f, f), 1.0 / (f * f), np.float32)
 
@@ -562,10 +567,19 @@ def _nlpd_pyramid(im: jax.Array, levels: int) -> list[jax.Array]:
     return bands
 
 
+def nlpd_max_levels(h: int, w: int, cap: int = 6) -> int:
+    """Deepest NLPD pyramid the (h, w) frame supports: min side must
+    stay >= 3 at every level for the 5-tap reflect pad (callers with
+    variable frame sizes — prep_fr's aspect/full_size policies — clamp
+    with this instead of raising inside jit)."""
+    return max(1, min(cap, int(math.floor(math.log2(min(h, w) / 3.0))) + 1))
+
+
 def nlpd(x: jax.Array, y: jax.Array, levels: int = 6) -> jax.Array:
     """Per-image NLPD over NHWC [0,1] batches (lower is better). Needs
     min side >= 3 * 2^(levels-1) so the deepest level still fits the
-    5-tap reflect pad; pass a smaller ``levels`` for tiny images."""
+    5-tap reflect pad; pass a smaller ``levels`` for tiny images
+    (``nlpd_max_levels``)."""
     p1 = _nlpd_pyramid(_lum255(x) / 255.0, levels)
     p2 = _nlpd_pyramid(_lum255(y) / 255.0, levels)
     dist = 0.0

@@ -99,9 +99,18 @@ class PairScorer:
                 elif name == "fsimc":
                     self._iqa["FSIMc"] = jax.jit(iqa.fsimc)
                 elif name == "nlpd":
-                    self._iqa["NLPD"] = jax.jit(iqa.nlpd)
+                    # pyramid depth clamped to the frame size at trace
+                    # time (aspect/full_size frames can be small; the
+                    # default 6 levels need min side >= 96)
+                    def _nlpd_auto(d, r):
+                        levels = iqa.nlpd_max_levels(*d.shape[1:3])
+                        return iqa.nlpd(d, r, levels=levels)
+
+                    self._iqa["NLPD"] = jax.jit(_nlpd_auto)
                 elif name == "mad":
-                    self._iqa["MAD"] = jax.jit(iqa.mad)
+                    # MAD's contrast-masking model derives from its
+                    # FIRST argument (the reference) — swap like VIF
+                    self._iqa["MAD"] = jax.jit(lambda d, r: iqa.mad(r, d))
                 else:
                     raise SystemExit(f"unknown --iqa metric {name!r}")
 
