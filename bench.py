@@ -331,7 +331,8 @@ def main() -> None:
         tiny = ["--vit-depth", "1", "--iters", "2"] if args.tiny else []
         res, rc = bench.run_json_subprocess(
             [sys.executable, "-m", "nerf_qa_tpu.tools.bench_nr_step",
-             "--forward", "--batch", "2" if args.tiny else "8",
+             "--forward", "--no-breakdown",
+             "--batch", "2" if args.tiny else "8",
              "--json"] + tiny,
             timeout_s=bench.remaining(),
         )
@@ -346,7 +347,7 @@ def main() -> None:
         tiny = ["--vit-depth", "1", "--iters", "2"] if args.tiny else []
         res, rc = bench.run_json_subprocess(
             [sys.executable, "-m", "nerf_qa_tpu.tools.bench_nr_step",
-             "--variant", "bf16r", "--batch", "2" if args.tiny else "4",
+             "--variant", "bf16", "--batch", "2" if args.tiny else "4",
              "--json"] + tiny,
             timeout_s=bench.remaining(),
         )

@@ -36,6 +36,7 @@ ENV_DISTS = "NERF_QA_DISTS_WEIGHTS"
 ENV_VIT = "NERF_QA_VIT_CKPT"
 ENV_JBU = "NERF_QA_JBU_CKPT"
 ENV_LPIPS = "NERF_QA_LPIPS_CKPT"
+ENV_STLPIPS = "NERF_QA_STLPIPS_CKPT"
 
 
 def add_backbone_args(parser) -> None:
@@ -132,6 +133,26 @@ def resolve_lpips_weights(path: str | None = None):
     _warn(
         "no LPIPS checkpoint (--lpips-ckpt / $" + ENV_LPIPS + ") — LPIPS "
         "uses uniform channel weights (uncalibrated)."
+    )
+    return None
+
+
+def resolve_stlpips_weights(path: str | None = None):
+    """ST-LPIPS learned ``lin`` weights (eval.iqa.st_lpips). The
+    official ShiftTolerant-LPIPS vgg checkpoint stores its lin layers in
+    the same layout as LPIPS, so the converter is shared; None ->
+    uniform 1/C fallback inside st_lpips() with a warning here."""
+    path = path or os.environ.get(ENV_STLPIPS)
+    if path:
+        import torch
+
+        from nerf_qa_tpu.compat.torch_weights import convert_lpips_lin
+
+        return convert_lpips_lin(
+            torch.load(path, map_location="cpu", weights_only=False))
+    _warn(
+        "no ST-LPIPS checkpoint (--stlpips-ckpt / $" + ENV_STLPIPS + ") "
+        "— ST-LPIPS uses uniform channel weights (uncalibrated)."
     )
     return None
 

@@ -125,14 +125,9 @@ def _lpips_pyramid(vgg_params, x: jax.Array) -> list[jax.Array]:
     return feats
 
 
-def lpips(vgg_params, x: jax.Array, y: jax.Array,
-          lin_weights=None) -> jax.Array:
-    """Per-image LPIPS (vgg variant, Zhang et al. 2018) over NHWC [0,1]
-    batches. ``lin_weights``: list of 5 per-channel (C_k,) arrays (the
-    checkpoint's ``lin{k}.model.1.weight`` squeezed); None -> uniform
-    1/C_k (uncalibrated)."""
-    fx = _lpips_pyramid(vgg_params, x)
-    fy = _lpips_pyramid(vgg_params, y)
+def _lpips_score(fx, fy, lin_weights) -> jax.Array:
+    """Stage-summed LPIPS distance between two feature pyramids:
+    unit-normalize channels, weighted squared diff, spatial mean."""
     if lin_weights is None:
         lin_weights = [jnp.full((c,), 1.0 / c, jnp.float32)
                        for c in LPIPS_STAGE_CHANNELS]
@@ -146,6 +141,80 @@ def lpips(vgg_params, x: jax.Array, y: jax.Array,
         total = total + jnp.mean(
             jnp.sum(d * jnp.asarray(w, jnp.float32), axis=-1), axis=(1, 2))
     return total
+
+
+def lpips(vgg_params, x: jax.Array, y: jax.Array,
+          lin_weights=None) -> jax.Array:
+    """Per-image LPIPS (vgg variant, Zhang et al. 2018) over NHWC [0,1]
+    batches. ``lin_weights``: list of 5 per-channel (C_k,) arrays (the
+    checkpoint's ``lin{k}.model.1.weight`` squeezed); None -> uniform
+    1/C_k (uncalibrated)."""
+    return _lpips_score(_lpips_pyramid(vgg_params, x),
+                        _lpips_pyramid(vgg_params, y), lin_weights)
+
+
+def _max_blur_pool(h: jax.Array) -> jax.Array:
+    """Anti-aliased downsampling (Zhang 2019 MaxBlurPool): 2x2 max-pool
+    at stride 1, then a [1 2 1] tent blur with reflect padding at
+    stride 2 — the shift-invariant replacement for strided max-pool."""
+    h = jax.lax.reduce_window(
+        h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 1, 1, 1), "VALID",
+    )
+    taps = np.asarray([1.0, 2.0, 1.0], np.float32) / 4.0
+    c = h.shape[-1]
+    for axis, shape in ((1, (-1, 1, 1, 1)), (2, (1, -1, 1, 1))):
+        t = jnp.asarray(taps).reshape(shape)
+        k = jnp.broadcast_to(t, t.shape[:2] + (1, c))
+        pad = [(0, 0), (0, 0)]
+        pad[axis - 1] = (1, 1)
+        h = jnp.pad(
+            h, ((0, 0), pad[0], pad[1], (0, 0)), mode="reflect")
+        strides = (2, 1) if axis == 1 else (1, 2)
+        h = jax.lax.conv_general_dilated(
+            h, k, strides, "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return h
+
+
+def _st_lpips_pyramid(vgg_params, x: jax.Array) -> list[jax.Array]:
+    """ST-LPIPS backbone: the LPIPS VGG16 pyramid with every strided
+    max-pool replaced by an anti-aliased MaxBlurPool."""
+    from nerf_qa_tpu.core.vgg import _conv_relu
+
+    h = (x.astype(jnp.float32) * 2.0 - 1.0
+         - jnp.asarray(_LPIPS_SHIFT)) / jnp.asarray(_LPIPS_SCALE)
+    feats = []
+    for si in range(5):
+        if si > 0:
+            h = _max_blur_pool(h)
+        for layer in vgg_params[f"stage{si + 1}"]:
+            h = _conv_relu(h, layer["kernel"], layer["bias"], jnp.float32)
+        feats.append(h)
+    return feats
+
+
+def st_lpips(vgg_params, x: jax.Array, y: jax.Array,
+             lin_weights=None) -> jax.Array:
+    """Per-image shift-tolerant LPIPS (Ghildyal & Liu, ECCV 2022) over
+    NHWC [0,1] batches — a competitor row of the reference's Test2
+    results table (results_table_test2.tex:11-25) the reference consumed
+    from external CSVs.
+
+    Follows the paper's central architectural change: LPIPS'
+    downsampling is made shift-invariant by swapping each strided
+    max-pool for an anti-aliased MaxBlurPool (2x2 max at stride 1 +
+    reflect-padded [1 2 1] tent blur at stride 2), which removes the
+    aliasing that makes vanilla LPIPS jump under 1-px shifts. The
+    official checkpoints' ``lin`` weights (trained on shifted pairs)
+    convert through the same layout as LPIPS
+    (compat.torch_weights.convert_lpips_lin, $NERF_QA_STLPIPS_CKPT);
+    None -> uniform 1/C_k (uncalibrated but structure-identical)."""
+    return _lpips_score(_st_lpips_pyramid(vgg_params, x),
+                        _st_lpips_pyramid(vgg_params, y), lin_weights)
 
 
 def ms_ssim(x: jax.Array, y: jax.Array, max_val: float = 1.0,

@@ -50,7 +50,7 @@ class PairScorer:
 
     def __init__(self, compute_dtype="bfloat16", with_adists=True,
                  vgg_ckpt=None, dists_weights=None, iqa_metrics=(),
-                 lpips_ckpt=None):
+                 lpips_ckpt=None, stlpips_ckpt=None):
         import jax
 
         self.dcfg = DISTSConfig(compute_dtype=compute_dtype)
@@ -88,6 +88,15 @@ class PairScorer:
                     lin = resolve_lpips_weights(lpips_ckpt)
                     self._iqa["LPIPS"] = jax.jit(
                         lambda x, y, _lin=lin: iqa.lpips(
+                            self.vgg_params, x, y, _lin))
+                elif name == "st-lpips":
+                    from nerf_qa_tpu.compat.pretrained import (
+                        resolve_stlpips_weights,
+                    )
+
+                    st_lin = resolve_stlpips_weights(stlpips_ckpt)
+                    self._iqa["ST-LPIPS"] = jax.jit(
+                        lambda x, y, _lin=st_lin: iqa.st_lpips(
                             self.vgg_params, x, y, _lin))
                 elif name == "gmsd":
                     self._iqa["GMSD"] = jax.jit(iqa.gmsd)
@@ -167,8 +176,8 @@ def main(argv=None):
     p.add_argument("--output-csv", default=None)
     p.add_argument("--iqa", default="",
                    help="comma-separated comparison-metric columns to add "
-                        "(psnr,ssim,ms-ssim,lpips,gmsd,vif,fsim,fsimc,"
-                        "nlpd,mad) — "
+                        "(psnr,ssim,ms-ssim,lpips,st-lpips,gmsd,vif,fsim,"
+                        "fsimc,nlpd,mad) — "
                         "the reference "
                         "consumed these from external CSVs "
                         "(prep.py:344-394); computed natively here")
@@ -176,6 +185,10 @@ def main(argv=None):
                    help="official lpips vgg.pth lin weights "
                         "($NERF_QA_LPIPS_CKPT); without it LPIPS uses "
                         "uniform channel weights")
+    p.add_argument("--stlpips-ckpt", default=None,
+                   help="official ShiftTolerant-LPIPS vgg lin weights "
+                        "($NERF_QA_STLPIPS_CKPT); without it ST-LPIPS "
+                        "uses uniform channel weights")
     add_backbone_args(p)
     args = p.parse_args(argv)
 
@@ -185,7 +198,8 @@ def main(argv=None):
                         dists_weights=args.dists_weights,
                         iqa_metrics=tuple(
                             m for m in args.iqa.split(",") if m),
-                        lpips_ckpt=args.lpips_ckpt)
+                        lpips_ckpt=args.lpips_ckpt,
+                        stlpips_ckpt=args.stlpips_ckpt)
     rows = []
     for _, row in df.iterrows():
         ref_dir = os.path.join(args.data_dir, "Reference", row["reference_folder"])
