@@ -170,11 +170,20 @@ def main() -> None:
         scale=1.0 / 255.0,  # folded uint8 normalization
     )
 
+    # params/weights are jit ARGUMENTS, not closed-over constants:
+    # constants get embedded into the serialized executable (measured:
+    # 127 MB jit_pipeline entry with the VGG pyramid folded in), and
+    # loading that through this harness's degraded tunnel took 100-470 s
+    # — slower than the compile it was meant to skip. As arguments the
+    # executable is a few MB and the weights transfer once as arrays.
+    params = jax.device_put(params)
+    weights = jax.device_put(weights)
+
     @jax.jit
-    def pipeline(d_u8, r_u8):
+    def pipeline(p, w, d_u8, r_u8):
         x = resize_bilinear(d_u8, score_size, score_size, **fast_resize)
         y = resize_bilinear(r_u8, score_size, score_size, **fast_resize)
-        return dists.forward(params, weights, x, y, cfg)
+        return dists.forward(p, w, x, y, cfg)
 
     # ---- headline (required; emitted the moment it is measured) ------
     _log(f"headline: generating {2 * n_buffers} device-resident "
@@ -197,13 +206,14 @@ def main() -> None:
     _log(f"headline: devgen {devgen_s:.1f}s; compiling pipeline")
 
     t0 = time.perf_counter()
-    out = pipeline(*dev_pairs[0])
+    out = pipeline(params, weights, *dev_pairs[0])
     _ = np.asarray(out)
     compile_s = time.perf_counter() - t0
     _log(f"headline: compile+first-call {compile_s:.1f}s; measuring")
 
     t0 = time.perf_counter()
-    outs = [pipeline(*dev_pairs[i % n_buffers]) for i in range(iters)]
+    outs = [pipeline(params, weights, *dev_pairs[i % n_buffers])
+            for i in range(iters)]
     jax.block_until_ready(outs)
     _ = np.asarray(outs[-1])
     dt = time.perf_counter() - t0
@@ -259,15 +269,15 @@ def main() -> None:
         acfg = ADISTSConfig(compute_dtype="bfloat16")
 
         @jax.jit
-        def pipeline_adists(d_u8, r_u8):
+        def pipeline_adists(p, d_u8, r_u8):
             x = resize_bilinear(d_u8, score_size, score_size, **fast_resize)
             y = resize_bilinear(r_u8, score_size, score_size, **fast_resize)
-            return adists.forward(params, x, y, acfg, as_loss=False)
+            return adists.forward(p, x, y, acfg, as_loss=False)
 
-        out = pipeline_adists(*dev_pairs[0])
+        out = pipeline_adists(params, *dev_pairs[0])
         _ = np.asarray(out)
         t0 = time.perf_counter()
-        outs = [pipeline_adists(*dev_pairs[i % n_buffers])
+        outs = [pipeline_adists(params, *dev_pairs[i % n_buffers])
                 for i in range(iters)]
         jax.block_until_ready(outs)
         _ = np.asarray(outs[-1])
@@ -299,25 +309,26 @@ def main() -> None:
         acfg = ADISTSConfig(compute_dtype="bfloat16")
 
         @jax.jit
-        def dists_fullres(x, y):
-            return dists.forward(params, weights, x, y, cfg)
+        def dists_fullres(p, w, x, y):
+            return dists.forward(p, w, x, y, cfg)
 
         @jax.jit
-        def adists_fullres(x, y):
-            return adists.forward(params, x, y, acfg, as_loss=False)
+        def adists_fullres(p, x, y):
+            return adists.forward(p, x, y, acfg, as_loss=False)
 
-        def timed(fn):
-            o = fn(*fr_pairs[0])
+        def timed(fn, *wargs):
+            o = fn(*wargs, *fr_pairs[0])
             _ = np.asarray(o)
             t0 = time.perf_counter()
-            os_ = [fn(*fr_pairs[i % 2]) for i in range(fr_iters)]
+            os_ = [fn(*wargs, *fr_pairs[i % 2]) for i in range(fr_iters)]
             jax.block_until_ready(os_)
             return fr_batch * fr_iters / (time.perf_counter() - t0)
 
-        detail["fps_dists_fullres_1080p"] = round(timed(dists_fullres), 2)
+        detail["fps_dists_fullres_1080p"] = round(
+            timed(dists_fullres, params, weights), 2)
         if bench.remaining() > 45.0:
             detail["fps_adists_fullres_1080p"] = round(
-                timed(adists_fullres), 2)
+                timed(adists_fullres, params), 2)
         else:
             bench.sections["fullres_adists"] = {
                 "status": "skipped (budget)"}

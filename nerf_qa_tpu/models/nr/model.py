@@ -92,40 +92,62 @@ class NRModel:
         self.vit_params = vit_params
         self.jbu_params = jbu_params
 
+    def frozen_params(self):
+        """Pytree of the frozen encoder weights + DISTS α/β.
+
+        Trainers/serving jits should pass this into forward/losses as an
+        ARGUMENT (``frozen=``) instead of letting trace-time closure
+        embed the attributes as executable constants: with ~150 MB of
+        frozen weights folded in, serialized NR executables measured
+        335-368 MB, and loading one through a slow link (this harness's
+        tunnel) can exceed the compile it was meant to save. ``None``
+        anywhere keeps the attribute-reading behavior."""
+        return {
+            "vgg": self.vgg_params,
+            "vit": self.vit_params,
+            "jbu": self.jbu_params,
+            "dists_w": self.dists_weights,
+        }
+
+    def _frozen(self, frozen):
+        return self.frozen_params() if frozen is None else frozen
+
     # -- encoder (frozen) --------------------------------------------------
-    def _sem_encode(self, sem_input, sem_tokens=None):
+    def _sem_encode(self, sem_input, sem_tokens=None, frozen=None):
         """ViT patch-token map (+ JBU pyramid). ``sem_tokens`` — an
         (N, gh, gw, dim) array from the offline feature cache
         (data/feature_cache.py; reference model.py:165-196) — skips the
         frozen ViT forward; JBU still runs (it needs the guidance image
         and is cheap MXU work)."""
+        f = self._frozen(frozen)
         if sem_tokens is not None:
             sem_feats = sem_tokens.astype(jnp.float32)
         else:
-            toks = self.vit.apply({"params": self.vit_params}, sem_input)
+            toks = self.vit.apply({"params": f["vit"]}, sem_input)
             gh, gw = toks["grid"]
             sem_feats = toks["x_norm_patchtokens"].reshape(
                 sem_input.shape[0], gh, gw, -1
             )
         if self.use_jbu:
             sem_pyramid = self.jbu.apply(
-                {"params": self.jbu_params}, sem_feats, sem_input
+                {"params": f["jbu"]}, sem_feats, sem_input
             )
         else:
             sem_pyramid = []
         return sem_feats, sem_pyramid
 
     def encode(self, render_256: jax.Array, render_224: jax.Array,
-               sem_tokens=None) -> EncoderFeats:
+               sem_tokens=None, frozen=None) -> EncoderFeats:
         """Frozen feature extraction (model_nr_v8.py:156-166)."""
+        f = self._frozen(frozen)
         compute_dtype = (
             jnp.bfloat16 if self.cfg.dists.compute_dtype == "bfloat16"
             else jnp.float32
         )
         sem_input = render_224 if self.cfg.vit_model == "dinov2" else render_256
-        sem_feats, sem_pyramid = self._sem_encode(sem_input, sem_tokens)
+        sem_feats, sem_pyramid = self._sem_encode(sem_input, sem_tokens, f)
         dists_feats = vgg16_pyramid(
-            self.vgg_params, render_256, compute_dtype=compute_dtype
+            f["vgg"], render_256, compute_dtype=compute_dtype
         )
         feats = EncoderFeats(dists_feats, sem_feats, sem_pyramid)
         return jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
@@ -146,11 +168,14 @@ class NRModel:
         state = {k: v for k, v in variables.items() if k != "params"}
         return params, state
 
-    def _decoder_vgg(self):
-        return self.vgg_params if self.cfg.version == 3 else None
+    def _decoder_vgg(self, frozen=None):
+        if self.cfg.version != 3:
+            return None
+        return self._frozen(frozen)["vgg"]
 
     def apply_decoder(self, decoder_params, feats: EncoderFeats,
-                      deterministic: bool = True, rng=None, state=None):
+                      deterministic: bool = True, rng=None, state=None,
+                      frozen=None):
         """Run the decoder; returns ((predicted, score_reg_map), new_state).
 
         In training mode (deterministic=False) the BatchNorm generations
@@ -161,7 +186,7 @@ class NRModel:
         rngs = {"dropout": rng} if rng is not None else {}
         variables = {"params": decoder_params, **state}
         args = (feats.dists_feats, feats.sem_feats, feats.sem_pyramid,
-                deterministic, self._decoder_vgg())
+                deterministic, self._decoder_vgg(frozen))
         if not deterministic and "batch_stats" in state:
             out, new_vars = self.decoder.apply(
                 variables, *args, rngs=rngs, mutable=["batch_stats"]
@@ -171,10 +196,11 @@ class NRModel:
         return out, state
 
     def pred_gt_dists_feats(self, decoder_params, feats: EncoderFeats,
-                            deterministic: bool = True, rng=None, state=None):
+                            deterministic: bool = True, rng=None, state=None,
+                            frozen=None):
         """Predict the GT DISTS pyramid (model_nr_v8.py:217-236)."""
         (predicted, _), _ = self.apply_decoder(
-            decoder_params, feats, deterministic, rng, state
+            decoder_params, feats, deterministic, rng, state, frozen
         )
         return predicted
 
@@ -209,7 +235,8 @@ class NRModel:
             out["pred_mean"] = mean[:, 3] * 0.1 + 0.1
         return out
 
-    def _compose_score(self, feats: EncoderFeats, predicted, reg_map):
+    def _compose_score(self, feats: EncoderFeats, predicted, reg_map,
+                       frozen=None):
         """Per-image score + aux regression outputs. v4 returns the pure
         regression (model_nr_v4.py:214-224); v3/v5/v6 add
         score_reg_scale * residual (model_nr_v6.py:227-233)."""
@@ -217,7 +244,8 @@ class NRModel:
             reg = self._reg_outputs(reg_map)
             return reg["dists_res"], reg
         score = dists.score_from_feats(
-            self.dists_weights, feats.dists_feats, predicted, self.cfg.dists
+            self._frozen(frozen)["dists_w"], feats.dists_feats, predicted,
+            self.cfg.dists
         )
         if reg_map is None:
             return score, {}
@@ -227,31 +255,32 @@ class NRModel:
 
     def forward_from_feats(self, decoder_params, feats: EncoderFeats,
                            deterministic: bool = True, rng=None,
-                           state=None) -> jax.Array:
+                           state=None, frozen=None) -> jax.Array:
         """Per-image NR score (model_nr_v8.py:239-246)."""
         (predicted, reg_map), _ = self.apply_decoder(
-            decoder_params, feats, deterministic, rng, state
+            decoder_params, feats, deterministic, rng, state, frozen
         )
-        score, _ = self._compose_score(feats, predicted, reg_map)
+        score, _ = self._compose_score(feats, predicted, reg_map, frozen)
         return score
 
     def forward(self, decoder_params, render_256, render_224,
                 deterministic: bool = True, rng=None, state=None,
-                sem_tokens=None) -> jax.Array:
+                sem_tokens=None, frozen=None) -> jax.Array:
         return self.forward_from_feats(
-            decoder_params, self.encode(render_256, render_224, sem_tokens),
-            deterministic, rng, state,
+            decoder_params,
+            self.encode(render_256, render_224, sem_tokens, frozen),
+            deterministic, rng, state, frozen,
         )
 
     def forward_normalized(self, decoder_params, render_256, render_224,
-                           state=None):
+                           state=None, frozen=None):
         """v6's (score, normalized) forward (model_nr_v6.py:227-240):
         normalized = (score - pred_mean) / (pred_std + 1e-7)."""
-        feats = self.encode(render_256, render_224)
+        feats = self.encode(render_256, render_224, frozen=frozen)
         (predicted, reg_map), _ = self.apply_decoder(
-            decoder_params, feats, True, None, state
+            decoder_params, feats, True, None, state, frozen
         )
-        score, reg = self._compose_score(feats, predicted, reg_map)
+        score, reg = self._compose_score(feats, predicted, reg_map, frozen)
         if "pred_std" not in reg:
             return score, score
         return score, (score - reg["pred_mean"]) / (reg["pred_std"] + 1e-7)
@@ -259,7 +288,7 @@ class NRModel:
     # -- losses ---------------------------------------------------------------
     def losses(self, decoder_params, gt_image, render_256, render_224,
                rng=None, score_std=None, score_mean=None, state=None,
-               score_map=None, sem_tokens=None):
+               score_map=None, sem_tokens=None, frozen=None):
         """Self-supervised training losses (model_nr_v8.py:250-274).
         Returns (losses_dict, new_decoder_state).
 
@@ -268,6 +297,7 @@ class NRModel:
         all folded into the (1-coeff) term (model_nr_v5.py:235-250,
         model_nr_v6.py:245-276)."""
         cfg = self.cfg
+        f = self._frozen(frozen)
         compute_dtype = (
             jnp.bfloat16 if cfg.dists.compute_dtype == "bfloat16"
             else jnp.float32
@@ -276,9 +306,9 @@ class NRModel:
         # gt pyramid): halves the conv work of the training step.
         n = render_256.shape[0]
         sem_input = render_224 if cfg.vit_model == "dinov2" else render_256
-        sem_feats, sem_pyramid = self._sem_encode(sem_input, sem_tokens)
+        sem_feats, sem_pyramid = self._sem_encode(sem_input, sem_tokens, f)
         both = vgg16_pyramid(
-            self.vgg_params, jnp.concatenate([render_256, gt_image], axis=0),
+            f["vgg"], jnp.concatenate([render_256, gt_image], axis=0),
             compute_dtype=compute_dtype,
         )
         feats = EncoderFeats(
@@ -288,12 +318,13 @@ class NRModel:
         gt_feats = [jax.lax.stop_gradient(f[n:]) for f in both]
         (predicted, reg_map), new_state = self.apply_decoder(
             decoder_params, feats, deterministic=rng is None, rng=rng,
-            state=state,
+            state=state, frozen=f,
         )
-        predicted_score, reg = self._compose_score(feats, predicted, reg_map)
+        predicted_score, reg = self._compose_score(feats, predicted,
+                                                   reg_map, f)
         gt_dists_score = jax.lax.stop_gradient(
             dists.score_from_feats(
-                self.dists_weights, gt_feats, feats.dists_feats, cfg.dists
+                f["dists_w"], gt_feats, feats.dists_feats, cfg.dists
             )
         )
         l1 = jnp.abs(predicted_score - gt_dists_score).mean()
@@ -314,7 +345,7 @@ class NRModel:
             losses["combined"] = l1_total
             return losses, new_state
         pref2ref = dists.score_from_feats(
-            self.dists_weights, predicted, gt_feats, cfg.dists,
+            f["dists_w"], predicted, gt_feats, cfg.dists,
             batch_average=True,
         )
         combined = (
@@ -328,7 +359,7 @@ class NRModel:
             # predicted image through the frozen VGG and pull the
             # predicted features toward it.
             re_feats = vgg16_pyramid(
-                self.vgg_params, jnp.clip(predicted[0], 0.0, 1.0),
+                f["vgg"], jnp.clip(predicted[0], 0.0, 1.0),
                 compute_dtype=compute_dtype,
             )
             re_loss = sum(
@@ -348,7 +379,7 @@ class NRModel:
 
             pred_img = jnp.clip(predicted[0].astype(jnp.float32), 0.0, 1.0)
             amap = adists.forward(
-                self.vgg_params, pred_img, render_256,
+                f["vgg"], pred_img, render_256,
                 ADISTSConfig(compute_dtype=cfg.dists.compute_dtype),
                 as_map=True,
             )

@@ -151,20 +151,29 @@ def run(frames: int = 512, n_pairs: int = 16, batch: int = 16,
         return result
 
     cfg = DISTSConfig(compute_dtype="bfloat16", stats_impl="pallas")
-    vgg = resolve_vgg_params(seed=0)
-    weights = resolve_dists_weights(cfg)
+    # weights as jit ARGUMENTS: closed-over constants bloat the
+    # serialized executable to >100 MB, which this harness's tunnel
+    # loads slower than it compiles (see bench.py headline note)
+    vgg = jax.device_put(resolve_vgg_params(seed=0))
+    weights = jax.device_put(resolve_dists_weights(cfg))
 
     @jax.jit
-    def dists_step(d, r):
-        return dists.forward(vgg, weights, d, r, cfg)
+    def _dists_step(p, w, d, r):
+        return dists.forward(p, w, d, r, cfg)
 
     @jax.jit
-    def dists_step_u8(d, r):
+    def _dists_step_u8(p, w, d, r):
         return dists.forward(
-            vgg, weights,
+            p, w,
             d.astype(jnp.float32) / 255.0, r.astype(jnp.float32) / 255.0,
             cfg,
         )
+
+    def dists_step(d, r):
+        return _dists_step(vgg, weights, d, r)
+
+    def dists_step_u8(d, r):
+        return _dists_step_u8(vgg, weights, d, r)
 
     with tempfile.TemporaryDirectory() as tmp:
         _log(f"building {n_pairs} fixture pairs at {hw[0]}x{hw[1]}")

@@ -123,26 +123,42 @@ def _bench_forward(args, model, render, r224) -> None:
     params, state = model.init(seed=0)
     render = jnp.asarray(render)
     r224 = jnp.asarray(r224)
+    # frozen weights as jit args — closure constants bloat the serialized
+    # executable to >300 MB (model.frozen_params docstring)
+    frozen = jax.device_put(model.frozen_params())
 
     @jax.jit
+    def _full(fz, p, x256, x224):
+        return model.forward(p, x256, x224, deterministic=True, state=state,
+                             frozen=fz)
+
     def full(p, x256, x224):
-        return model.forward(p, x256, x224, deterministic=True, state=state)
+        return _full(frozen, p, x256, x224)
 
     @jax.jit
+    def _encode(fz, x256, x224):
+        return model.encode(x256, x224, frozen=fz)
+
     def encode(x256, x224):
-        return model.encode(x256, x224)
+        return _encode(frozen, x256, x224)
 
     @jax.jit
-    def decode(p, feats):
+    def _decode(fz, p, feats):
         (predicted, reg_map), _ = model.apply_decoder(
-            p, feats, deterministic=True, state=state
+            p, feats, deterministic=True, state=state, frozen=fz
         )
         return predicted, reg_map
 
+    def decode(p, feats):
+        return _decode(frozen, p, feats)
+
     @jax.jit
-    def score(feats, predicted, reg_map):
-        s, _ = model._compose_score(feats, predicted, reg_map)
+    def _score(fz, feats, predicted, reg_map):
+        s, _ = model._compose_score(feats, predicted, reg_map, fz)
         return s
+
+    def score(feats, predicted, reg_map):
+        return _score(frozen, feats, predicted, reg_map)
 
     def timed(fn, *fargs):
         out = fn(*fargs)

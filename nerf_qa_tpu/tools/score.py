@@ -92,8 +92,12 @@ class NRScorer:
             model.dists_weights = DISTSWeights(
                 jnp.asarray(ab["alpha"]), jnp.asarray(ab["beta"])
             )
+        # frozen weights as jit args (not closure constants): keeps the
+        # serialized executable small enough that the persistent-cache
+        # load beats recompiling (model.frozen_params docstring)
+        self._frozen = jax.device_put(model.frozen_params())
         self._step = jax.jit(
-            lambda p, s, a, b: model.forward(p, a, b, state=s)
+            lambda fz, p, s, a, b: model.forward(p, a, b, state=s, frozen=fz)
         )
         self.batch_size = args.batch_size
 
@@ -109,7 +113,7 @@ class NRScorer:
 
     def step_batch(self, r256, r224):
         """One fixed-shape device step over prepped frames."""
-        return self._step(self.params, self.state, r256, r224)
+        return self._step(self._frozen, self.params, self.state, r256, r224)
 
     def score_frames(self, frames: np.ndarray) -> np.ndarray:
         """Per-frame NR scores for full-size float frames (N,H,W,3)."""
@@ -219,10 +223,14 @@ def main(argv=None) -> int:
         import jax
 
         acfg = ADISTSConfig(compute_dtype=dtype)
+        vgg_dev = jax.device_put(vgg)  # arg, not a 60 MB closure constant
 
         @jax.jit
+        def _astep(vp, x, y):
+            return adists.forward(vp, x, y, acfg, as_loss=False)
+
         def astep(x, y):
-            return adists.forward(vgg, x, y, acfg, as_loss=False)
+            return _astep(vgg_dev, x, y)
 
         out = np.empty((n,), np.float32)
         for lo in range(0, n, bs):

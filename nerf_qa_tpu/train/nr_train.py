@@ -66,6 +66,13 @@ class NRTrainer:
         self.optimizer = optax.adam(
             schedule, b1=train_cfg.beta1, b2=train_cfg.beta2, eps=train_cfg.eps
         )
+        # frozen encoder weights ride every step as an ARGUMENT — closed
+        # over they become executable constants, bloating the serialized
+        # NR programs to 335-368 MB (model.frozen_params docstring)
+        self._frozen = (
+            meshlib.replicate(mesh, model.frozen_params())
+            if mesh is not None else jax.device_put(model.frozen_params())
+        )
         self._train_step = self._build_train_step()
         self._score_step = self._build_score_step()
         self._train_step_sm = None  # built lazily (mode='score-map')
@@ -79,14 +86,14 @@ class NRTrainer:
         model = self.model
 
         def step(params, state, opt_state, gt, render_256, render_224,
-                 rng, score_std, score_mean, *tok):
+                 rng, score_std, score_mean, frozen, *tok):
             rng, sub = jax.random.split(rng)
 
             def loss_fn(p):
                 losses, new_state = model.losses(
                     p, gt, render_256, render_224, rng=sub,
                     score_std=score_std, score_mean=score_mean, state=state,
-                    sem_tokens=tok[0] if tok else None,
+                    sem_tokens=tok[0] if tok else None, frozen=frozen,
                 )
                 return losses["combined"], (losses, new_state)
 
@@ -100,7 +107,7 @@ class NRTrainer:
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
-            ins = (rsh, rsh, rsh, dsh, dsh, dsh, rsh, dsh, dsh)
+            ins = (rsh, rsh, rsh, dsh, dsh, dsh, rsh, dsh, dsh, rsh)
             if cached_tokens:
                 ins = ins + (dsh,)
             return jax.jit(
@@ -117,13 +124,13 @@ class NRTrainer:
         model = self.model
 
         def step(params, state, opt_state, gt, render_256, render_224,
-                 score_map, rng):
+                 score_map, rng, frozen):
             rng, sub = jax.random.split(rng)
 
             def loss_fn(p):
                 losses, new_state = model.losses(
                     p, gt, render_256, render_224, rng=sub, state=state,
-                    score_map=score_map,
+                    score_map=score_map, frozen=frozen,
                 )
                 return losses["combined"], (losses, new_state)
 
@@ -139,7 +146,7 @@ class NRTrainer:
             rsh = meshlib.replicated(self.mesh)
             return jax.jit(
                 step,
-                in_shardings=(rsh, rsh, rsh, dsh, dsh, dsh, dsh, rsh),
+                in_shardings=(rsh, rsh, rsh, dsh, dsh, dsh, dsh, rsh, rsh),
                 out_shardings=(rsh, rsh, rsh, rsh, rsh),
                 donate_argnums=_donate(),
             )
@@ -152,20 +159,21 @@ class NRTrainer:
         return self._train_step_sm(
             params, state, opt_state,
             jnp.asarray(gt), jnp.asarray(render_256), jnp.asarray(render_224),
-            jnp.asarray(score_map, jnp.float32), rng,
+            jnp.asarray(score_map, jnp.float32), rng, self._frozen,
         )
 
     def _build_score_step(self, cached_tokens: bool = False):
         model = self.model
 
-        def step(params, state, render_256, render_224, *tok):
+        def step(params, state, render_256, render_224, frozen, *tok):
             return model.forward(params, render_256, render_224, state=state,
-                                 sem_tokens=tok[0] if tok else None)
+                                 sem_tokens=tok[0] if tok else None,
+                                 frozen=frozen)
 
         if self.mesh is not None:
             dsh = meshlib.data_sharding(self.mesh)
             rsh = meshlib.replicated(self.mesh)
-            ins = (rsh, rsh, dsh, dsh)
+            ins = (rsh, rsh, dsh, dsh, rsh)
             if cached_tokens:
                 ins = ins + (dsh,)
             return jax.jit(step, in_shardings=ins, out_shardings=dsh)
@@ -196,7 +204,7 @@ class NRTrainer:
             params, state, opt_state,
             jnp.asarray(gt), jnp.asarray(render_256), jnp.asarray(render_224),
             rng, jnp.asarray(score_std, jnp.float32),
-            jnp.asarray(score_mean, jnp.float32),
+            jnp.asarray(score_mean, jnp.float32), self._frozen,
         )
         if sem_tokens is not None:
             if self._train_step_tok is None:
@@ -231,13 +239,14 @@ class NRTrainer:
             return np.asarray(
                 self._score_step_tok(
                     params, state, jnp.asarray(render_256),
-                    jnp.asarray(render_224),
+                    jnp.asarray(render_224), self._frozen,
                     jnp.asarray(sem_tokens, jnp.float32),
                 )
             )
         return np.asarray(
             self._score_step(
-                params, state, jnp.asarray(render_256), jnp.asarray(render_224)
+                params, state, jnp.asarray(render_256),
+                jnp.asarray(render_224), self._frozen,
             )
         )
 
