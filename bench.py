@@ -21,7 +21,10 @@ wiped out by a timeout):
   after every additional section. Progress goes to stderr; stdout
   carries only JSON lines, last line = most complete result.
 * Sections after the headline run under a total wall-clock budget
-  (env NERF_QA_TPU_BENCH_BUDGET_S, default 420 s). A section whose
+  (env NERF_QA_TPU_BENCH_BUDGET_S, default 1200 s — an external
+  timeout can cut the run at ANY point without losing the sections
+  already emitted, so the budget is a graceful-termination bound for
+  manual runs, not the driver's safety net). A section whose
   minimum time no longer fits is recorded as ``skipped (budget)``
   instead of hanging the run; subprocess sections are bounded by the
   remaining budget and their partial JSON is kept on timeout.
@@ -130,7 +133,7 @@ def main() -> None:
                         "(tests/test_bench_protocol.py)")
     args = p.parse_args()
 
-    budget = float(os.environ.get("NERF_QA_TPU_BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("NERF_QA_TPU_BENCH_BUDGET_S", "1200"))
     bench = Bench(budget)
 
     # compile time is not part of any measured number; cache repeat runs
@@ -176,8 +179,22 @@ def main() -> None:
     # loading that through this harness's degraded tunnel took 100-470 s
     # — slower than the compile it was meant to skip. As arguments the
     # executable is a few MB and the weights transfer once as arrays.
+    # settle: the first device operation after another client's exit
+    # can block for minutes while the server tears the old client down
+    # (measured: a tiny matmul at 231-2013 s, then everything normal).
+    # Pay that here, visibly, so compile_s reflects compilation — and
+    # restart the budget clock after it: the stall is environmental,
+    # and counting it would budget-skip every section on a healthy run.
+    t0 = time.perf_counter()
+    _ = np.asarray(jnp.zeros((8, 8)) @ jnp.zeros((8, 8)))
+    _log(f"device settle: {time.perf_counter() - t0:.1f}s")
+    bench.t0 = time.monotonic()
+
+    t0 = time.perf_counter()
     params = jax.device_put(params)
     weights = jax.device_put(weights)
+    jax.block_until_ready((params, weights))
+    _log(f"weights upload: {time.perf_counter() - t0:.1f}s")
 
     @jax.jit
     def pipeline(p, w, d_u8, r_u8):
@@ -322,6 +339,7 @@ def main() -> None:
             t0 = time.perf_counter()
             os_ = [fn(*wargs, *fr_pairs[i % 2]) for i in range(fr_iters)]
             jax.block_until_ready(os_)
+            _ = np.asarray(os_[-1])  # host read: tunnel ack can be early
             return fr_batch * fr_iters / (time.perf_counter() - t0)
 
         detail["fps_dists_fullres_1080p"] = round(
@@ -336,57 +354,97 @@ def main() -> None:
     bench.run_section("fullres_1080p", 90.0, fullres)
 
     # ---- NR model numbers (VERDICT r4 weak #3: put them in the
-    # artifact, not just prose) — serving forward @B=8 and the bf16r
-    # train step @B=4, each its own process (HBM/caching isolation). ---
-    def nr_serving():
-        tiny = ["--vit-depth", "1", "--iters", "2"] if args.tiny else []
-        res, rc = bench.run_json_subprocess(
-            [sys.executable, "-m", "nerf_qa_tpu.tools.bench_nr_step",
-             "--forward", "--no-breakdown",
-             "--batch", "2" if args.tiny else "8",
-             "--json"] + tiny,
-            timeout_s=bench.remaining(),
-        )
-        if res is None:
-            raise RuntimeError(f"no JSON from bench_nr_step (rc={rc})")
-        detail["fps_nr_serving_b8"] = res.get("frames_per_sec")
-        detail["ms_nr_serving_forward_b8"] = res.get("ms_forward")
+    # artifact, not just prose) — serving forward @B=8 and the bf16
+    # train step @B=4. IN-PROCESS: this harness allows one TPU client
+    # at a time, so a subprocess would queue behind the parent until
+    # its timeout (observed: 823 s of nothing). ------------------------
+    def _nr_model():
+        from nerf_qa_tpu.config import NRModelConfig
+        from nerf_qa_tpu.core.vgg import init_vgg16_params
+        from nerf_qa_tpu.models.nr.model import NRModel
+        from nerf_qa_tpu.models.nr.vit import ViTS14
 
-    bench.run_section("nr_serving", 60.0, nr_serving)
+        if args.tiny:
+            return NRModel(
+                init_vgg16_params(seed=0),
+                cfg=NRModelConfig(transformer_decoder_depth=1,
+                                  refine_up_depth=1, dropout_rate=0.2,
+                                  decoder_dtype="bfloat16", dists=cfg),
+                render_size=64, sem_size=56, vit=ViTS14(depth=1),
+            )
+        return NRModel(
+            init_vgg16_params(seed=0),
+            cfg=NRModelConfig(transformer_decoder_depth=2,
+                              refine_up_depth=2, dropout_rate=0.2,
+                              decoder_dtype="bfloat16", dists=cfg),
+            vit=ViTS14(depth=12),
+        )
+
+    nr_holder: dict = {}
+
+    def nr_serving():
+        model = _nr_model()
+        nr_holder["model"] = model
+        nparams, nstate = model.init(seed=0)
+        nr_holder["params"], nr_holder["state"] = nparams, nstate
+        frozen = jax.device_put(model.frozen_params())
+        nr_holder["frozen"] = frozen
+        b = 2 if args.tiny else 8
+        rng = np.random.default_rng(0)
+        r256 = jnp.asarray(rng.random(
+            (b, model.render_size, model.render_size, 3), dtype=np.float32))
+        r224 = jnp.asarray(rng.random(
+            (b, model.sem_size, model.sem_size, 3), dtype=np.float32))
+        nr_holder["batch"] = (r256, r224)
+
+        @jax.jit
+        def nr_fwd(fz, p, x256, x224):
+            return model.forward(p, x256, x224, deterministic=True,
+                                 state=nstate, frozen=fz)
+
+        _ = np.asarray(nr_fwd(frozen, nparams, r256, r224))  # compile
+        iters = 2 if args.tiny else 10
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            out = nr_fwd(frozen, nparams, r256, r224)
+            _ = np.asarray(out[:1])  # host read: tunnel ack can be early
+        dt = (time.perf_counter() - t0) / iters
+        detail["ms_nr_serving_forward_b8"] = round(dt * 1e3, 1)
+        detail["fps_nr_serving_b8"] = round(b / dt, 2)
+
+    bench.run_section("nr_serving", 120.0, nr_serving)
 
     def nr_train():
-        tiny = ["--vit-depth", "1", "--iters", "2"] if args.tiny else []
-        res, rc = bench.run_json_subprocess(
-            [sys.executable, "-m", "nerf_qa_tpu.tools.bench_nr_step",
-             "--variant", "bf16", "--batch", "2" if args.tiny else "4",
-             "--json"] + tiny,
-            timeout_s=bench.remaining(),
+        from nerf_qa_tpu.config import TrainConfig
+        from nerf_qa_tpu.train.nr_train import NRTrainer
+
+        model = nr_holder.get("model") or _nr_model()
+        b = 2 if args.tiny else 4
+        trainer = NRTrainer(
+            model, TrainConfig(lr=1e-4, schedule="constant", batch_size=b),
+            steps_per_epoch=100,
         )
-        if res is None:
-            raise RuntimeError(f"no JSON from bench_nr_step (rc={rc})")
-        detail["ms_nr_train_step_b4"] = res.get("ms_per_step")
-        detail["fps_nr_train_b4"] = res.get("frames_per_sec")
+        tparams, tstate, topt, key = trainer.init(seed=0)
+        rng = np.random.default_rng(0)
+        gt = rng.random((b, model.render_size, model.render_size, 3),
+                        dtype=np.float32)
+        render = np.clip(gt + 0.05, 0, 1)
+        r224 = rng.random((b, model.sem_size, model.sem_size, 3),
+                          dtype=np.float32)
+        tparams, tstate, topt, losses, key = trainer.train_step(
+            tparams, tstate, topt, gt, render, r224, key)
+        float(losses["combined"])  # compile + host read
+        iters = 2 if args.tiny else 10
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            tparams, tstate, topt, losses, key = trainer.train_step(
+                tparams, tstate, topt, gt, render, r224, key)
+        float(losses["combined"])
+        dt = (time.perf_counter() - t0) / iters
+        detail["ms_nr_train_step_b4"] = round(dt * 1e3, 1)
+        detail["fps_nr_train_b4"] = round(b / dt, 2)
 
-    bench.run_section("nr_train", 60.0, nr_train)
-
-    # ---- sustained end-to-end feed (VERDICT r4 item 6: >=500 frames
-    # through decode-pool -> prefetch -> device -> scores, per feed
-    # mode). The child emits cumulative JSON per mode, so a budget
-    # timeout preserves completed modes. ------------------------------
-    def feed_sustained():
-        argv = [sys.executable, "-m", "nerf_qa_tpu.tools.bench_feed",
-                "--json"]
-        if args.tiny:
-            argv += ["--tiny"]
-        res, rc = bench.run_json_subprocess(
-            argv, timeout_s=bench.remaining())
-        if res is None:
-            raise RuntimeError(f"no JSON from bench_feed (rc={rc})")
-        if rc == "timeout":
-            res["note"] = "budget timeout; completed modes kept"
-        detail["feed_sustained"] = res
-
-    bench.run_section("feed_sustained", 90.0, feed_sustained)
+    bench.run_section("nr_train", 120.0, nr_train)
 
     # ---- host decode-pool rate table + the feed-budget arithmetic ----
     def host_decode():
@@ -410,6 +468,33 @@ def main() -> None:
         detail["host_decode"] = host
 
     bench.run_section("host_decode", 45.0, host_decode)
+
+    # ---- sustained end-to-end feed (VERDICT r4 item 6: >=500 frames
+    # through decode-pool -> prefetch -> device -> scores, per feed
+    # mode). IN-PROCESS (single-TPU-client harness, see NR sections)
+    # and last: it is the longest section. Each completed mode
+    # re-emits the enriched artifact immediately, so a hard external
+    # kill mid-mode preserves the finished ones. The DISTS feeds and
+    # the NR feeds run as two sections so the budget can cut between
+    # them. -----------------------------------------------------------
+    nr_holder.clear()
+
+    def _feed(modes):
+        from nerf_qa_tpu.tools import bench_feed
+
+        def emit_mode(res):
+            detail.setdefault("feed_sustained", {}).update(res)
+            bench.emit()
+
+        res = bench_feed.run(tiny=args.tiny, modes=modes, emit=emit_mode)
+        detail.setdefault("feed_sustained", {}).update(res)
+
+    bench.run_section(
+        "feed_dists", 90.0,
+        lambda: _feed(("dists_jpeg", "dists_jpeg_fast",
+                       "dists_uint8_cache")))
+    bench.run_section(
+        "feed_nr", 180.0, lambda: _feed(("nr_tokens", "nr_full")))
 
     _log(f"done in {time.monotonic() - bench.t0:.0f}s "
          f"(budget {budget:.0f}s)")

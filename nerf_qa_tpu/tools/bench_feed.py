@@ -105,7 +105,9 @@ def _sustained(decode_batch, step, n_batches: int, batch: int,
         if done % sync_every == 0:
             jax.block_until_ready(out)
     if out is not None:
-        jax.block_until_ready(out)
+        # host-read the final scores: through the axon tunnel a bare
+        # block_until_ready can ack at enqueue for arg-passing programs
+        np.asarray(out)
     dt = time.perf_counter() - t0
     t.join()
     if err:

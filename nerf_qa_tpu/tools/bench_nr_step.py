@@ -87,7 +87,9 @@ def main(argv=None) -> None:
     params, state, opt, losses, key = trainer.train_step(
         params, state, opt, gt, render, r224, key
     )
-    jax.block_until_ready(losses["combined"])
+    # host-read the loss, not just block_until_ready: through the axon
+    # tunnel the latter can ack at enqueue for arg-passing programs
+    float(losses["combined"])
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -95,7 +97,7 @@ def main(argv=None) -> None:
         params, state, opt, losses, key = trainer.train_step(
             params, state, opt, gt, render, r224, key
         )
-    jax.block_until_ready(losses["combined"])
+    float(losses["combined"])
     dt = (time.perf_counter() - t0) / args.iters
 
     result = {
@@ -160,9 +162,18 @@ def _bench_forward(args, model, render, r224) -> None:
     def score(feats, predicted, reg_map):
         return _score(frozen, feats, predicted, reg_map)
 
+    def _sync(out):
+        # block_until_ready alone can return at enqueue-ack (not
+        # completion) through the axon tunnel for arg-passing programs
+        # (observed: a 190 ms forward "measured" at 0.6 ms); pulling one
+        # scalar-sized leaf to the host cannot complete early.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf if leaf.ndim == 0 else leaf.ravel()[:1])
+        jax.block_until_ready(out)
+
     def timed(fn, *fargs):
         out = fn(*fargs)
-        jax.block_until_ready(out)
+        _sync(out)
         t0 = time.perf_counter()
         # keep only the newest output alive: the encode/decode pyramids
         # are ~0.5 GB each at B=8, so holding all iters' outputs (as the
@@ -175,8 +186,8 @@ def _bench_forward(args, model, render, r224) -> None:
         for i in range(args.iters):
             out = fn(*fargs)
             if (i + 1) % 4 == 0:
-                jax.block_until_ready(out)
-        jax.block_until_ready(out)
+                _sync(out)
+        _sync(out)
         return (time.perf_counter() - t0) / args.iters, out
 
     dt_full, _ = timed(full, params, render, r224)
