@@ -112,6 +112,7 @@ def test_serving_bf16_close_to_fp32(vgg_params, images):
     np.testing.assert_allclose(np.asarray(b16), np.asarray(f32), atol=5e-3)
 
 
+@pytest.mark.slow  # tier budget: blocked path also exercised by spatial-sharding fast tests
 def test_blocked_fullres_path_matches_unblocked():
     """The channel-blocked full-resolution path (lax.scan over channel
     blocks) must produce the same scores as the unblocked path."""

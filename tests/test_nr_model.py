@@ -57,6 +57,7 @@ def test_encoder_pyramid_shapes(model, batch):
     assert sem == rev
 
 
+@pytest.mark.slow  # tier budget: decoder cascade also covered by forward/losses fast tests + the v1-v8 sweep
 def test_decoder_predicts_full_pyramid(model, batch):
     _, render, r224 = batch
     params, state = model.init(seed=0)
@@ -106,6 +107,7 @@ def test_nr_training_reduces_loss(model, batch):
     assert float(losses["combined"]) < losses0["combined"]
 
 
+@pytest.mark.slow  # tier budget: video pooling covered by test_nr_benchmark fast tests
 def test_nr_video_scoring(model, batch):
     _, render, r224 = batch
     trainer = NRTrainer(model, TrainConfig(), steps_per_epoch=1)
@@ -127,6 +129,7 @@ def test_scene_holdout_split():
     assert list(train) == [True, False, False, True, False, False]
 
 
+@pytest.mark.slow  # tier budget: every generation trains in the slow v1-v8 sweep
 def test_version_config_older_generation():
     """v1-v6 config point: init returns a batch_stats state that eval
     consumes (the round-1 ScopeCollectionNotFound repro, fixed)."""
